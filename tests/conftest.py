@@ -1,0 +1,24 @@
+"""Test configuration: run everything on a fake 8-device CPU platform so
+multi-chip sharding paths are exercised without TPU hardware (the idiomatic JAX
+fake-cluster mechanism).
+
+Note: the JAX_PLATFORMS env var alone is not honored when an out-of-tree TPU
+plugin is installed, so the platform is also forced through jax.config.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def pytest_report_header(config):
+    return f"jax devices: {jax.devices()}"
