@@ -1,0 +1,148 @@
+"""Static-shape point-cloud neighbor ops: FPS, radius search, kNN interpolate.
+
+TPU-native replacements for the torch_cluster/torch_geometric CUDA kernels the
+reference leans on (``models/modules.py:7-8,320-321,352``):
+
+  * ``farthest_point_sampling``  <- torch_cluster.fps
+  * ``radius_neighbors``         <- torch_cluster.radius (max_num_neighbors cap)
+  * ``knn`` / ``knn_interpolate``<- torch_geometric.nn.knn_interpolate
+
+All run on dense ``(N, D)`` arrays with *static* output shapes (padded +
+masked), which is what XLA needs; sparsity is expressed through masks instead
+of variable-length edge lists. Batched variants are vmapped.
+
+Deviations from torch_cluster, documented:
+  * FPS starts from point 0 instead of a random start (deterministic;
+    torch_cluster defaults to random_start=True).
+  * ``radius`` returns the K nearest-by-index neighbors within r (torch_cluster
+    returns the first K encountered in index order — same set).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_sqdist(query: jnp.ndarray, src: jnp.ndarray) -> jnp.ndarray:
+    """Squared euclidean distances (..., M, N) between query (..., M, D) and
+    src (..., N, D). Uses the |a|^2 - 2ab + |b|^2 expansion so the inner term
+    rides the MXU."""
+    q2 = jnp.sum(query * query, axis=-1, keepdims=True)
+    s2 = jnp.sum(src * src, axis=-1, keepdims=True)
+    cross = jnp.einsum("...md,...nd->...mn", query, src)
+    d2 = q2 - 2.0 * cross + jnp.swapaxes(s2, -1, -2)
+    return jnp.maximum(d2, 0.0)
+
+
+def farthest_point_sampling(pos: jnp.ndarray, n_samples: int,
+                            start_idx: int = 0) -> jnp.ndarray:
+    """Iterative farthest-point sampling over pos (N, D) -> (n_samples,) int32.
+
+    O(n_samples * N): each step updates the running min-distance-to-selected
+    field and argmaxes it — fully vectorized, compiles to a fori_loop.
+    """
+    n = pos.shape[0]
+
+    def body(i, carry):
+        selected, min_d2 = carry
+        last = selected[i - 1]
+        d2 = jnp.sum((pos - pos[last]) ** 2, axis=-1)
+        min_d2 = jnp.minimum(min_d2, d2)
+        selected = selected.at[i].set(jnp.argmax(min_d2).astype(jnp.int32))
+        return selected, min_d2
+
+    selected = jnp.zeros((n_samples,), jnp.int32).at[0].set(start_idx)
+    init_d2 = jnp.sum((pos - pos[start_idx]) ** 2, axis=-1)
+    selected, _ = jax.lax.fori_loop(1, n_samples, body, (selected, init_d2))
+    return selected
+
+
+def fps_count(n: int, ratio: float) -> int:
+    """Number of centroids torch_cluster.fps selects for a given ratio."""
+    return max(1, math.ceil(n * ratio))
+
+
+def radius_neighbors(src: jnp.ndarray, query: jnp.ndarray, r: float,
+                     max_neighbors: int):
+    """Fixed-radius neighbor search: for each query point return up to
+    ``max_neighbors`` source indices with distance <= r.
+
+    :param src: (N, D) candidate points.
+    :param query: (C, D) query (centroid) points.
+    :return: (idx (C, K) int32, mask (C, K) bool). Padded entries point at 0
+        with mask False.
+    """
+    n = src.shape[0]
+    d2 = pairwise_sqdist(query, src)  # (C, N)
+    within = d2 <= r * r
+    # lowest-index-first selection: score = N - index for in-radius points
+    scores = jnp.where(within, n - jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1), 0)
+    k_eff = min(max_neighbors, n)
+    top, idx = jax.lax.top_k(scores, k_eff)
+    mask = top > 0
+    idx = jnp.where(mask, idx, 0).astype(jnp.int32)
+    if k_eff < max_neighbors:  # pad to the requested static width
+        pad = max_neighbors - k_eff
+        idx = jnp.pad(idx, ((0, 0), (0, pad)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    return idx, mask
+
+
+def knn(src: jnp.ndarray, query: jnp.ndarray, k: int):
+    """k nearest neighbors of each query among src; k is clamped to the source
+    size (torch_geometric returns fewer neighbors when N < k, e.g. when
+    interpolating from a GlobalSetAbstraction's single descriptor).
+
+    Selection uses the MXU-friendly expansion-form distances, but the returned
+    distances are recomputed in difference form: exact zeros on self-hits, so
+    downstream 1/d^2 interpolation weights clamp cleanly instead of exploding
+    through second derivatives (the expansion form leaves ~1e-7 cancellation
+    residue whose inverse-square second derivative overflows float32).
+
+    :return: (idx (M, k') int32, sqdist (M, k')) with k' = min(k, N)."""
+    d2 = pairwise_sqdist(query, src)
+    _, idx = jax.lax.top_k(-d2, min(k, src.shape[-2]))
+    idx = idx.astype(jnp.int32)
+    diff = query[..., :, None, :] - src[idx]          # (M, k', D)
+    return idx, jnp.sum(diff * diff, axis=-1)
+
+
+def knn_interpolate(x: jnp.ndarray, pos_src: jnp.ndarray, pos_query: jnp.ndarray,
+                    k: int = 3) -> jnp.ndarray:
+    """Inverse-squared-distance kNN interpolation (torch_geometric
+    ``knn_interpolate`` semantics: weights 1/clamp(d^2, min)).
+
+    The clamp floor is 1e-12 rather than torch's 1e-16: this framework takes
+    SECOND derivatives through the interpolation (PDE residuals), and the
+    curvature term 2/floor^3 must stay finite in float32 (2e48 -> inf -> NaN at
+    exact self-hits with the torch floor; 2e36 is fine). Exact hits clamp, so
+    their weight gradient is zero — same behavior as torch's clamp.
+
+    :param x: (N, F) features at pos_src (N, D).
+    :param pos_query: (M, D) target positions.
+    :return: (M, F) interpolated features.
+    """
+    idx, d2 = knn(pos_src, pos_query, k)
+    w = 1.0 / jnp.maximum(d2, 1e-12)              # (M, k)
+    neigh = x[idx]                                 # (M, k, F)
+    return jnp.sum(neigh * w[..., None], axis=-2) / jnp.sum(w, axis=-1, keepdims=True)
+
+
+# Batched variants (leading batch axis), used by the dense modules.
+batched_fps = jax.vmap(farthest_point_sampling, in_axes=(0, None, None))
+batched_radius = jax.vmap(radius_neighbors, in_axes=(0, 0, None, None))
+batched_knn_interpolate = jax.vmap(knn_interpolate, in_axes=(0, 0, 0, None))
+
+
+def masked_max(values: jnp.ndarray, mask: jnp.ndarray, axis: int = -2):
+    """Max over ``axis`` counting only masked-in entries; all-masked-out groups
+    yield 0 (the scatter-max default the torch reference inherits from
+    PyG aggregation over empty neighborhoods)."""
+    neg = jnp.finfo(values.dtype).min
+    filled = jnp.where(mask, values, neg)
+    out = jnp.max(filled, axis=axis)
+    any_valid = jnp.any(mask, axis=axis)
+    return jnp.where(any_valid, out, 0.0)

@@ -1,0 +1,226 @@
+"""PI-GANO model family: geometry-aware branch/trunk neural operators.
+
+Counterparts of the reference models (``models/pi_gano/``):
+  * ``PiGano``       (pi_gano.py:11-74)  — geometry encoder (max-pool MLP on
+    [boundaryId || sdf] + coords), points encoder MLP, branch net on variable-BC
+    features, NeuralOperator trunk (each layer modulated by the branch
+    embedding), linear reduction.
+  * ``PiGanoFull``   (pi_gano.py:77-136) — original PI-GANO: one NeuralOperator
+    stack per output variable, sum-reduced.
+  * ``PiGanoPp``     (pi_gano_pp.py:13-87)   — geometry encoder replaced by a
+    SetAbstraction stack over boundary points.
+  * ``PiGanoPpFull`` (pi_gano_pp_full.py:13-77) — SetAbstraction encoder +
+    FeaturePropagation-NeuralOperator decoder.
+
+All use ``MomentumLossVariable`` (per-point d/f coefficient fields) and gather
+branch inputs from the ``variable_boundaries`` spec: for each subdomain, the
+coordinates concatenated with the listed variable features
+(``pi_gano/base.py:60-73``).
+
+The reference detaches the coordinates feeding the geometry encoder
+(pi_gano.py:59, pi_gano_pp.py:71-72) — here ``stop_gradient``.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from porous_cfd_tpu.data.foam_data import FoamData
+from porous_cfd_tpu.models.base import PinnModel
+from porous_cfd_tpu.models.mlp import (MLP, Activation, Branch,
+                                       GeometryEncoder,
+                                       NeuralOperatorSequential)
+from porous_cfd_tpu.models.set_abstraction import (
+    FeaturePropagationNeuralOperatorSeq, GeometryEncoderPp, SetAbstractionSeq)
+from porous_cfd_tpu.physics.losses import (ContinuityLossStandardized,
+                                           MomentumLossVariable)
+
+VariableBoundaries = dict
+
+
+def gather_parameters(batch: FoamData, variable_boundaries: VariableBoundaries):
+    """Branch-net input: per variable subdomain, [C || features...] rows
+    concatenated along the point axis (pi_gano/base.py:60-73)."""
+    parts = []
+    for subdomain in variable_boundaries["Subdomains"]:
+        sub = batch[subdomain]
+        cols = [sub["C"]]
+        for feature in variable_boundaries["Features"]:
+            cols.append(sub[feature])
+        parts.append(jnp.concatenate(cols, axis=-1))
+    return jnp.concatenate(parts, axis=-2)
+
+
+class PiGanoModule(nn.Module):
+    """PI-GANO forward (pi_gano.py:49-69)."""
+    out_features: int
+    branch_layers: Sequence[int]
+    geometry_layers: Sequence[int]
+    local_layers: Sequence[int]
+    n_operators: int
+    operator_dropout: Sequence[float]
+    variable_boundaries: VariableBoundaries
+    activation: Activation = nn.silu
+    full: bool = False  # PiGanoFull: one trunk per output, sum-reduced
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, points, batch: FoamData, deterministic: bool = True):
+        geom_in = jnp.concatenate([batch["boundaryId"], batch["sdf"]], axis=-1)
+        param_features = gather_parameters(batch, self.variable_boundaries)
+
+        geom = GeometryEncoder(self.geometry_layers, self.activation,
+                               dtype=self.dtype, name="geometry_encoder")(
+            geom_in, jax.lax.stop_gradient(points), deterministic)
+        local = MLP(self.local_layers, None, self.activation, dtype=self.dtype,
+                    name="points_encoder")(points, deterministic)
+        geom = jnp.broadcast_to(geom, (*local.shape[:-1], geom.shape[-1]))
+
+        operator_in = jnp.concatenate([local, geom], axis=-1)
+        par = Branch(self.branch_layers, self.activation, dtype=self.dtype,
+                     name="branch")(param_features, deterministic)
+
+        n_feat = self.geometry_layers[-1] + self.local_layers[-1]
+        if self.full:
+            outs = []
+            for i in range(self.out_features):
+                y = NeuralOperatorSequential(
+                    self.n_operators, n_feat, self.operator_dropout,
+                    self.activation, last_activation=False, dtype=self.dtype,
+                    name=f"neural_ops_{i}")(operator_in, par, deterministic)
+                outs.append(jnp.sum(y, axis=-1, keepdims=True))
+            return jnp.concatenate(outs, axis=-1)
+        y = NeuralOperatorSequential(
+            self.n_operators, n_feat, self.operator_dropout, self.activation,
+            dtype=self.dtype, name="neural_ops")(operator_in, par, deterministic)
+        return nn.Dense(self.out_features, dtype=self.dtype, name="reduction")(y)
+
+
+class PiGanoPpModule(nn.Module):
+    """PI-GANO++ forward (pi_gano_pp.py:62-82): SetAbstraction geometry encoder
+    over boundary points with [C || boundaryId] features."""
+    out_features: int
+    branch_layers: Sequence[int]
+    geometry_layers: Sequence[Sequence[int]]
+    geometry_radius: Sequence[float]
+    geometry_fraction: Sequence[float]
+    local_layers: Sequence[int]
+    n_operators: int
+    operator_dropout: Sequence[float]
+    variable_boundaries: VariableBoundaries
+    activation: Activation = nn.silu
+    max_neighbors: int = 64
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, points, batch: FoamData, deterministic: bool = True):
+        param_features = gather_parameters(batch, self.variable_boundaries)
+        b_pos = jax.lax.stop_gradient(batch["boundary"]["C"])
+        geom_in = jnp.concatenate([b_pos, batch["boundary"]["boundaryId"]],
+                                  axis=-1)
+        geom = GeometryEncoderPp(
+            self.geometry_fraction, self.geometry_radius, self.geometry_layers,
+            self.activation, self.max_neighbors, dtype=self.dtype,
+            name="geometry_encoder")(geom_in, b_pos, deterministic)
+        local = MLP(self.local_layers, None, self.activation, dtype=self.dtype,
+                    name="points_encoder")(points, deterministic)
+        geom = jnp.broadcast_to(geom, (*local.shape[:-1], geom.shape[-1]))
+
+        operator_in = jnp.concatenate([local, geom], axis=-1)
+        par = Branch(self.branch_layers, self.activation, dtype=self.dtype,
+                     name="branch")(param_features, deterministic)
+        n_feat = self.geometry_layers[-1][-1] + self.local_layers[-1]
+        y = NeuralOperatorSequential(
+            self.n_operators, n_feat, self.operator_dropout, self.activation,
+            dtype=self.dtype, name="neural_ops")(operator_in, par, deterministic)
+        return nn.Dense(self.out_features, dtype=self.dtype, name="reduction")(y)
+
+
+class PiGanoPpFullModule(nn.Module):
+    """PI-GANO++ full forward (pi_gano_pp_full.py:53-72): SetAbstraction
+    encoder over all points + FP-NeuralOperator decoder."""
+    out_features: int
+    branch_layers: Sequence[int]
+    enc_layers: Sequence[Sequence[int]]
+    enc_radius: Sequence[float]
+    enc_fraction: Sequence[float]
+    dec_layers: Sequence[Sequence[int]]
+    dec_k: Sequence[int]
+    fp_dropout: Optional[Sequence[Any]]
+    variable_boundaries: VariableBoundaries
+    activation: Activation = nn.silu
+    max_neighbors: int = 64
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, points, batch: FoamData, deterministic: bool = True):
+        param_features = gather_parameters(batch, self.variable_boundaries)
+        par = Branch(self.branch_layers, self.activation, dtype=self.dtype,
+                     name="branch")(param_features, deterministic)
+        sa_in = jnp.concatenate([batch["sdf"], batch["boundaryId"], points],
+                                axis=-1)
+        (x, pos), skips = SetAbstractionSeq(
+            self.enc_fraction, self.enc_radius, self.enc_layers,
+            return_skip=True, activation=self.activation,
+            max_neighbors=self.max_neighbors, dtype=self.dtype,
+            name="encoder")(sa_in, points, deterministic)
+        y, _ = FeaturePropagationNeuralOperatorSeq(
+            self.dec_layers, self.dec_k, self.fp_dropout, self.activation,
+            dtype=self.dtype, name="decoder")(par, x, pos, skips, deterministic)
+        return y
+
+
+def _pi_gano_model(module, dims, nu, scalers) -> PinnModel:
+    u_s, p_s, c_s = scalers["U"], scalers["p"], scalers["C"]
+    d_s, f_s = scalers["d"], scalers["f"]
+    return PinnModel(
+        module=module, dims=dims,
+        momentum_loss=MomentumLossVariable(nu, u_s, c_s, p_s, d_s, f_s),
+        continuity_loss=ContinuityLossStandardized(u_s, c_s),
+        enable_data_loss=True, u_scaler=u_s, p_scaler=p_s,
+        learning_rate=1e-3, lr_gamma=0.999)
+
+
+def pi_gano(nu: float, out_features: int, branch_layers, geometry_layers,
+            local_layers, n_operators, operator_dropout, scalers: dict,
+            variable_boundaries: VariableBoundaries,
+            activation: Activation = nn.silu, full: bool = False,
+            dtype: Any = None) -> PinnModel:
+    """PI-GANO / PI-GANO-full (pi_gano.py)."""
+    module = PiGanoModule(out_features, branch_layers, geometry_layers,
+                          local_layers, n_operators, operator_dropout,
+                          variable_boundaries, activation, full, dtype=dtype)
+    return _pi_gano_model(module, out_features - 1, nu, scalers)
+
+
+def pi_gano_pp(nu: float, out_features: int, branch_layers, geometry_layers,
+               geometry_radius, geometry_fraction, local_layers, n_operators,
+               operator_dropout, scalers: dict,
+               variable_boundaries: VariableBoundaries,
+               activation: Activation = nn.silu, max_neighbors: int = 64,
+               dtype: Any = None) -> PinnModel:
+    """PI-GANO++ (pi_gano_pp.py)."""
+    module = PiGanoPpModule(out_features, branch_layers, geometry_layers,
+                            geometry_radius, geometry_fraction, local_layers,
+                            n_operators, operator_dropout, variable_boundaries,
+                            activation, max_neighbors, dtype=dtype)
+    return _pi_gano_model(module, out_features - 1, nu, scalers)
+
+
+def pi_gano_pp_full(nu: float, out_features: int, branch_layers, enc_layers,
+                    enc_radius, enc_fraction, dec_layers, dec_k, fp_dropout,
+                    scalers: dict, variable_boundaries: VariableBoundaries,
+                    activation: Activation = nn.silu, max_neighbors: int = 64,
+                    dtype: Any = None) -> PinnModel:
+    """PI-GANO++ full (pi_gano_pp_full.py). NOTE: the reference's decoder
+    emits dec_layers[-1][-1] channels (4 in its example config = D+1+1); the
+    PinnModel output schema uses out_features channels [U.., p], so configs
+    should set dec_layers[-1][-1] == out_features."""
+    module = PiGanoPpFullModule(out_features, branch_layers, enc_layers,
+                                enc_radius, enc_fraction, dec_layers, dec_k,
+                                fp_dropout, variable_boundaries, activation,
+                                max_neighbors, dtype=dtype)
+    return _pi_gano_model(module, out_features - 1, nu, scalers)

@@ -1,15 +1,19 @@
 """PIPN model family (flax modules + PinnModel factories).
 
 Counterparts of the reference models:
-  * ``PipnManufactured``  (models/pipn/pipn_baseline.py:12-63) — physics-only,
+  * ``PipnManufactured``(+Pp) (models/pipn/pipn_baseline.py) — physics-only,
     raw coordinates, Tanh, Adam(1e-3, eps=1e-6) + ExpLR(0.9995).
   * ``PipnFoam``          (models/pipn/pipn_foam.py:59-105) — data+physics with
     standardized features, SiLU, Adam(1e-3) + ExpLR(0.999).
+  * ``PipnFoamPp``        (pipn_foam.py:108-166) — geometry branch is a
+    SetAbstraction stack over boundary points.
+  * ``PipnFoamPpMrg``     (pipn_foam.py:169-226) — multi-resolution-grouping
+    geometry encoder.
+  * ``PipnFoamPpFull``    (pipn_foam.py:229-290) — U-Net style SetAbstraction
+    encoder + FeaturePropagation decoder over all points.
 
-Both share the PIPN topology: PointNet feature extraction (local shared MLP on
-coordinates, global MLP + max-pool over [local || boundaryId || sdf]), global
-embedding tiled per point, concatenated with local features, decoded by a
-shared segmentation MLP.
+All share the PIPN topology: per-point features + a pooled global geometry
+embedding, decoded by a shared segmentation MLP.
 """
 from __future__ import annotations
 
@@ -21,6 +25,10 @@ import jax.numpy as jnp
 from porous_cfd_tpu.data.foam_data import FoamData
 from porous_cfd_tpu.models.base import PinnModel
 from porous_cfd_tpu.models.mlp import MLP, Activation, PointNetFeatureExtract
+from porous_cfd_tpu.models.set_abstraction import (FeaturePropagationSeq,
+                                                   PointNetFeatureExtractPp,
+                                                   SetAbstractionMrgSeq,
+                                                   SetAbstractionSeq)
 from porous_cfd_tpu.physics.losses import (ContinuityLoss,
                                            ContinuityLossStandardized,
                                            MomentumLossFixed,
@@ -49,6 +57,104 @@ class PipnModule(nn.Module):
         return MLP(self.seg_layers, self.seg_dropout, self.activation,
                    last_activation=False, dtype=self.dtype,
                    name="decoder")(seg_in, deterministic)
+
+
+class PipnPpModule(nn.Module):
+    """PIPN++ forward (pipn_foam.py:148-161): geometry branch = SetAbstraction
+    stack over boundary points with [C || boundaryId] features; local shared
+    MLP on the differentiable points; tiled concat; decoder.
+
+    ``geom_features_order`` matches the reference concat order, which differs
+    between the foam ("C_first") and manufactured ("id_first") variants
+    (pipn_foam.py:154 vs pipn_baseline.py:110)."""
+    fe_local_layers: Sequence[int]
+    fe_global_layers: Sequence[Sequence[int]]
+    fe_radius: Sequence[float]
+    fe_fraction: Sequence[float]
+    seg_layers: Sequence[int]
+    seg_dropout: Optional[Sequence[float]] = None
+    activation: Activation = nn.silu
+    max_neighbors: int = 64
+    geom_features_order: str = "C_first"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, points, batch: FoamData, deterministic: bool = True):
+        boundary = batch["boundary"]
+        b_pos = boundary["C"]
+        b_id = boundary["boundaryId"]
+        if self.geom_features_order == "C_first":
+            geom = jnp.concatenate([b_pos, b_id], axis=-1)
+        else:
+            geom = jnp.concatenate([b_id, b_pos], axis=-1)
+        local, g = PointNetFeatureExtractPp(
+            self.fe_local_layers, self.fe_global_layers, self.fe_fraction,
+            self.fe_radius, self.activation, self.max_neighbors,
+            dtype=self.dtype, name="feature_extract")(
+            geom, b_pos, points, deterministic)
+        exp_g = jnp.broadcast_to(g, (*local.shape[:-1], g.shape[-1]))
+        seg_in = jnp.concatenate([local, exp_g], axis=-1)
+        return MLP(self.seg_layers, self.seg_dropout, self.activation,
+                   last_activation=False, dtype=self.dtype,
+                   name="decoder")(seg_in, deterministic)
+
+
+class PipnPpMrgModule(nn.Module):
+    """PIPN++ MRG forward (pipn_foam.py:207-221): multi-resolution-grouping
+    geometry encoder over boundary points."""
+    n_dims: int
+    mrg_in_features: int
+    fe_local_layers: Sequence[int]
+    seg_layers: Sequence[int]
+    seg_dropout: Optional[Sequence[float]] = None
+    activation: Activation = nn.silu
+    max_neighbors: int = 64
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, points, batch: FoamData, deterministic: bool = True):
+        local = MLP(self.fe_local_layers, activation=self.activation,
+                    dtype=self.dtype, name="local_fe")(points, deterministic)
+        boundary = batch["boundary"]
+        geom = jnp.concatenate([boundary["boundaryId"], boundary["C"]], axis=-1)
+        g = SetAbstractionMrgSeq(
+            self.mrg_in_features, self.n_dims, self.activation,
+            self.max_neighbors, dtype=self.dtype, name="global_fe")(
+            geom, boundary["C"], deterministic)
+        exp_g = jnp.broadcast_to(g, (*local.shape[:-1], g.shape[-1]))
+        seg_in = jnp.concatenate([local, exp_g], axis=-1)
+        return MLP(self.seg_layers, self.seg_dropout, self.activation,
+                   last_activation=False, dtype=self.dtype,
+                   name="decoder")(seg_in, deterministic)
+
+
+class PipnPpFullModule(nn.Module):
+    """Full U-Net PIPN++ (pipn_foam.py:270-285): SetAbstraction encoder over
+    ALL points with [sdf || boundaryId || C] features, FeaturePropagation
+    decoder back to full resolution."""
+    enc_layers: Sequence[Sequence[int]]
+    enc_radius: Sequence[float]
+    enc_fraction: Sequence[float]
+    dec_layers: Sequence[Sequence[int]]
+    dec_k: Sequence[int]
+    dec_dropout: Optional[Sequence[Any]] = None
+    activation: Activation = nn.silu
+    max_neighbors: int = 64
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, points, batch: FoamData, deterministic: bool = True):
+        x_in = jnp.concatenate([batch["sdf"], batch["boundaryId"], points],
+                               axis=-1)
+        (x, pos), skips = SetAbstractionSeq(
+            self.enc_fraction, self.enc_radius, self.enc_layers,
+            return_skip=True, activation=self.activation,
+            max_neighbors=self.max_neighbors, dtype=self.dtype,
+            name="encoder")(x_in, points, deterministic)
+        y, _ = FeaturePropagationSeq(
+            self.dec_layers, self.dec_k, self.dec_dropout, self.activation,
+            dtype=self.dtype, name="decoder")(x, pos, skips, deterministic)
+        return y
 
 
 def pipn_manufactured(nu: float, d: float, f: float,
@@ -92,3 +198,68 @@ def pipn_foam(nu: float, d: float, f: float,
         enable_data_loss=True,
         u_scaler=u_s, p_scaler=p_s,
         learning_rate=1e-3, lr_gamma=0.999)
+
+
+def _foam_model(module, dims, nu, d, f, scalers) -> PinnModel:
+    u_s, p_s, c_s = scalers["U"], scalers["p"], scalers["C"]
+    return PinnModel(
+        module=module, dims=dims,
+        momentum_loss=MomentumLossFixed(nu, d, f, u_s, c_s, p_s),
+        continuity_loss=ContinuityLossStandardized(u_s, c_s),
+        enable_data_loss=True, u_scaler=u_s, p_scaler=p_s,
+        learning_rate=1e-3, lr_gamma=0.999)
+
+
+def pipn_manufactured_pp(nu: float, d: float, f: float,
+                         fe_local_layers, fe_global_layers,
+                         fe_global_radius, fe_global_fraction, seg_layers,
+                         activation: Activation = nn.tanh,
+                         max_neighbors: int = 64, dtype: Any = None) -> PinnModel:
+    """Physics-only PIPN++ (pipn_baseline.py:66-124)."""
+    module = PipnPpModule(fe_local_layers, fe_global_layers, fe_global_radius,
+                          fe_global_fraction, seg_layers, None, activation,
+                          max_neighbors, geom_features_order="id_first",
+                          dtype=dtype)
+    return PinnModel(
+        module=module, dims=seg_layers[-1] - 1,
+        momentum_loss=MomentumLossManufactured(nu, d, f),
+        continuity_loss=ContinuityLoss(),
+        enable_data_loss=False,
+        learning_rate=1e-3, lr_gamma=0.9995, adam_eps=1e-6)
+
+
+def pipn_foam_pp(nu: float, d: float, f: float,
+                 fe_local_layers, fe_global_layers, fe_radius, fe_fraction,
+                 seg_layers, scalers: dict, seg_dropout=None,
+                 activation: Activation = nn.silu,
+                 max_neighbors: int = 64, dtype: Any = None) -> PinnModel:
+    """PIPN++ with standardized features (pipn_foam.py:108-166)."""
+    module = PipnPpModule(fe_local_layers, fe_global_layers, fe_radius,
+                          fe_fraction, seg_layers, seg_dropout, activation,
+                          max_neighbors, geom_features_order="C_first",
+                          dtype=dtype)
+    return _foam_model(module, seg_layers[-1] - 1, nu, d, f, scalers)
+
+
+def pipn_foam_pp_mrg(n_dims: int, mrg_in_features: int,
+                     nu: float, d: float, f: float,
+                     fe_local_layers, seg_layers, scalers: dict,
+                     seg_dropout=None, activation: Activation = nn.silu,
+                     max_neighbors: int = 64, dtype: Any = None) -> PinnModel:
+    """PIPN++ MRG (pipn_foam.py:169-226)."""
+    module = PipnPpMrgModule(n_dims, mrg_in_features, fe_local_layers,
+                             seg_layers, seg_dropout, activation,
+                             max_neighbors, dtype=dtype)
+    return _foam_model(module, seg_layers[-1] - 1, nu, d, f, scalers)
+
+
+def pipn_foam_pp_full(nu: float, d: float, f: float,
+                      enc_layers, enc_radius, enc_fraction,
+                      dec_layers, dec_k, scalers: dict, dec_dropout=None,
+                      activation: Activation = nn.silu,
+                      max_neighbors: int = 64, dtype: Any = None) -> PinnModel:
+    """U-Net PIPN++ (pipn_foam.py:229-290)."""
+    module = PipnPpFullModule(enc_layers, enc_radius, enc_fraction, dec_layers,
+                              dec_k, dec_dropout, activation, max_neighbors,
+                              dtype=dtype)
+    return _foam_model(module, dec_layers[-1][-1] - 1, nu, d, f, scalers)
