@@ -56,6 +56,33 @@ MANUFACTURED_LABELS = {
 }
 
 
+class ManufacturedDataset:
+    """File-based manufactured-solutions dataset: FoamDataset subclass that
+    synthesizes U, p and the exact forcing at load time
+    (examples/manufactured_solutions/manufactured_dataset.py:6-67)."""
+
+    def __new__(cls, data_dir, n_internal, n_boundary, d, f, rng,
+                meta_dir=None, extra_fields=[], nu: float = 0.01):
+        from porous_cfd_tpu.data.dataset import FoamDataset
+
+        class _Impl(FoamDataset):
+            def add_features(self, internal, patches):
+                super().add_features(internal, patches)
+                self._add_manufactured(internal)
+                for t in patches.values():
+                    self._add_manufactured(t)
+
+            def _add_manufactured(self, table):
+                u, p, forcing = manufactured_fields(
+                    table["C"], table["cellToRegion"], nu, d, f)
+                table["f"] = forcing
+                table["U"] = u
+                table["p"] = p
+
+        return _Impl(data_dir, n_internal, n_boundary, 0, rng,
+                     meta_dir=meta_dir, extra_fields=extra_fields)
+
+
 def make_manufactured_batch(rng: np.random.Generator,
                             batch_size: int,
                             n_internal: int,

@@ -1,0 +1,71 @@
+"""Training pipeline: CLI + orchestration (reference ``common/training.py``).
+
+Same CLI contract (flags, defaults: batch 13, bf16-mixed, 3000 epochs,
+checkpoint every 500, loss-scaler 'fixed'), same artifacts
+(``lightning_logs/<name>/model_meta.json``, periodic + final checkpoints),
+driven by the jitted engine instead of Lightning.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from argparse import ArgumentParser, Namespace
+
+import jax.numpy as jnp
+
+from porous_cfd_tpu.data.dataset import FoamDataset
+from porous_cfd_tpu.models.base import PinnModel
+from porous_cfd_tpu.physics.scaling import LossScaler
+from porous_cfd_tpu.train.trainer import Trainer, TrainerConfig
+
+
+def dtype_from_precision(precision: str):
+    """'bf16-mixed' -> bfloat16 compute / float32 params (the TPU-native
+    equivalent of Lightning's bf16-mixed autocast); anything else -> float32."""
+    return jnp.bfloat16 if str(precision).startswith("bf16") else None
+
+
+def build_arg_parser() -> ArgumentParser:
+    """Reference CLI (training.py:21-47)."""
+    p = argparse.ArgumentParser()
+    p.add_argument("--n-internal", type=int, default=1000,
+                   help="number of internal points to sample")
+    p.add_argument("--n-boundary", type=int, default=200,
+                   help="number of boundary points to sample")
+    p.add_argument("--n-observations", type=int, default=500,
+                   help="number of observation points to sample")
+    p.add_argument("--batch-size", type=int, default=13)
+    p.add_argument("--precision", type=str, default="bf16-mixed",
+                   help="model weight precision. Supports mixed precision")
+    p.add_argument("--epochs", type=int, default=3000)
+    p.add_argument("--logs-dir", type=str, default=os.getcwd(),
+                   help="base directory to save model weights")
+    p.add_argument("--train-dir", type=str, default="data/train")
+    p.add_argument("--val-dir", type=str, default="data/val")
+    p.add_argument("--model", type=str,
+                   help="model type. The available models depend on the experiment")
+    p.add_argument("--name", type=str, default=None,
+                   help="experiment name; results saved under this directory")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="checkpoint path to resume/finetune from")
+    p.add_argument("--loss-scaler", type=str, default="fixed",
+                   help="loss scaler. Supports fixed and relobralo")
+    return p
+
+
+def train(args: Namespace, model: PinnModel,
+          train_data: FoamDataset, val_data: FoamDataset | None,
+          loss_scaler: LossScaler | None = None,
+          mesh=None, shard_points: bool = False) -> None:
+    """Train with checkpoint-every-500-epochs + final model.ckpt
+    (training.py:50-85)."""
+    cfg = TrainerConfig(epochs=args.epochs, batch_size=args.batch_size,
+                        logs_dir=args.logs_dir, name=args.name)
+    trainer = Trainer(model,
+                      train_data.stacked(),
+                      val_data.stacked() if val_data is not None else None,
+                      cfg, loss_scaler, mesh, shard_points,
+                      model_type=args.model)
+    trainer.write_model_meta(args.n_internal, args.n_boundary,
+                             args.n_observations, args.precision)
+    trainer.fit(resume_from=args.checkpoint)

@@ -1,0 +1,247 @@
+"""Host-side training loop: epochs, shuffling, validation, TensorBoard
+scalars, periodic orbax checkpoints with resume.
+
+Replaces the Lightning ``Trainer`` usage of the reference
+(``common/training.py:50-85``) while keeping its observable contract:
+
+  * seed 8421; shuffled train batches (last short batch kept, like the
+    default DataLoader ``drop_last=False``); validation every epoch;
+  * per-epoch aggregated scalars with the reference's metric names
+    ('Total loss', 'Continuity loss', ..., 'Validation error p', ...) plus the
+    learning rate (LearningRateMonitor equivalent);
+  * checkpoint every 500 epochs (``checkpoint-epoch=N.ckpt``) and a final
+    ``model.ckpt`` under ``<logs_dir>/lightning_logs/<name>/``;
+  * ``model_meta.json`` with model type + sampling params (training.py:74-81).
+
+The device-side work per epoch is exactly one or two XLA executions: a
+``lax.scan`` over the full-size batches plus (when C % B != 0) one remainder
+step — metrics are batch-size-weighted like Lightning's on_epoch reduction.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from porous_cfd_tpu.data.foam_data import FoamData
+from porous_cfd_tpu.models.base import PinnModel, error_labels
+from porous_cfd_tpu.physics.scaling import LossScaler, RelobraloScaler
+from porous_cfd_tpu.train.engine import (TrainState, gather_cases,
+                                         make_optimizer, make_train_functions)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    epochs: int = 3000
+    batch_size: int = 13
+    logs_dir: str = "."
+    name: Optional[str] = None
+    checkpoint_every: int = 500
+    seed: int = 8421
+    log_every: int = 1
+    print_every: int = 50
+
+
+class Trainer:
+    def __init__(self, model: PinnModel,
+                 train_data: FoamData,
+                 val_data: Optional[FoamData],
+                 config: TrainerConfig,
+                 loss_scaler: Optional[LossScaler] = None,
+                 mesh=None,
+                 shard_points: bool = False,
+                 model_type: str = "model"):
+        """
+        :param train_data: stacked (C, N, D) FoamData (``FoamDataset.stacked()``).
+        """
+        self.model = model
+        self.train_data = train_data
+        self.val_data = val_data
+        self.config = config
+        self.model_type = model_type
+
+        self.n_cases = len(train_data.data)
+        b = min(config.batch_size, self.n_cases)
+        self.batch_size = b
+        self.steps_per_epoch = max(1, self.n_cases // b) if self.n_cases % b == 0 \
+            else self.n_cases // b + 1
+        self.full_steps = self.n_cases // b
+        self.remainder = self.n_cases % b
+
+        if isinstance(loss_scaler, RelobraloScaler) and \
+                loss_scaler.update_period == 1:
+            loss_scaler = dataclasses.replace(loss_scaler,
+                                              update_period=self.steps_per_epoch)
+        self.loss_scaler = loss_scaler
+
+        self.tx = make_optimizer(model, self.steps_per_epoch)
+        self.fns = make_train_functions(model, self.tx, loss_scaler, mesh,
+                                        shard_points)
+
+        name = config.name or time.strftime("version_%Y%m%d-%H%M%S")
+        self.log_dir = Path(config.logs_dir) / "lightning_logs" / name
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        self._writer = None
+
+    # -- logging ------------------------------------------------------------
+    @property
+    def writer(self):
+        if self._writer is None:
+            from torch.utils.tensorboard import SummaryWriter
+            self._writer = SummaryWriter(log_dir=str(self.log_dir))
+        return self._writer
+
+    def write_model_meta(self, n_internal=None, n_boundary=None, n_obs=None,
+                         precision="bf16-mixed"):
+        meta = {"Model type": self.model_type,
+                "N internal": n_internal,
+                "N boundary": n_boundary,
+                "N observations": n_obs,
+                "Precision": precision,
+                "Batch size": self.batch_size}
+        with open(self.log_dir / "model_meta.json", "w") as f:
+            f.write(json.dumps(meta, indent=4))
+
+    # -- checkpointing -------------------------------------------------------
+    def _ckpt_dir(self, name: str) -> Path:
+        return (self.log_dir / name).absolute()
+
+    def save_checkpoint(self, state: TrainState, epoch: int, name: str):
+        import orbax.checkpoint as ocp
+        path = self._ckpt_dir(name)
+        payload = {"state": state, "epoch": epoch}
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, payload, force=True)
+
+    def restore_checkpoint(self, path: str | Path, state: TrainState):
+        """Restore (state, epoch) using ``state`` as the abstract template."""
+        import orbax.checkpoint as ocp
+        template = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+            {"state": state, "epoch": 0})
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(Path(path).absolute(), template)
+        return restored["state"], restored["epoch"]
+
+    # -- training ------------------------------------------------------------
+    def _epoch_perm(self, rng: np.random.Generator):
+        perm = rng.permutation(self.n_cases)
+        full = perm[:self.full_steps * self.batch_size]
+        rem = perm[self.full_steps * self.batch_size:]
+        return full.reshape(self.full_steps, self.batch_size), rem
+
+    def _combine(self, mean_full, n_full, m_rem, n_rem):
+        if n_rem == 0:
+            return mean_full
+        if n_full == 0:
+            return m_rem
+        return (mean_full * n_full + m_rem * n_rem) / (n_full + n_rem)
+
+    def validate(self, params) -> np.ndarray:
+        """Batch-size-weighted validation errors [p, ux, uy, (uz)]."""
+        n = len(self.val_data.data)
+        b = self.batch_size
+        totals, count = 0.0, 0
+        for s in range(0, n, b):
+            idx = jnp.arange(s, min(s + b, n))
+            errs = self.fns.eval_batch(params, gather_cases(self.val_data, idx))
+            totals = totals + np.asarray(errs) * len(idx)
+            count += len(idx)
+        return totals / count
+
+    def fit(self, resume_from: str | None = None) -> TrainState:
+        cfg = self.config
+        dataset = jax.device_put(self.train_data)
+        first_batch = gather_cases(dataset, jnp.arange(self.batch_size))
+        state = self.fns.init_state(first_batch, seed=cfg.seed)
+        start_epoch = 0
+        if resume_from:
+            state, start_epoch = self.restore_checkpoint(resume_from, state)
+            print(f"resumed from {resume_from} at epoch {start_epoch}")
+
+        host_rng = np.random.default_rng(cfg.seed)
+        for _ in range(start_epoch):  # replay shuffles so resume == uninterrupted
+            self._epoch_perm(host_rng)
+        t0 = time.time()
+        for epoch in range(start_epoch, cfg.epochs):
+            perm, rem = self._epoch_perm(host_rng)
+            if self.full_steps:
+                state, m_full = self.fns.train_epoch(state, dataset,
+                                                     jnp.asarray(perm))
+            else:
+                m_full = None
+            if len(rem):
+                state, m_rem = self.fns.train_step(
+                    state, gather_cases(dataset, jnp.asarray(rem)))
+            metrics = self._combine(
+                np.asarray(m_full) if m_full is not None else 0.0,
+                self.full_steps * self.batch_size,
+                np.asarray(m_rem) if len(rem) else 0.0, len(rem))
+
+            if (epoch + 1) % cfg.log_every == 0:
+                for label, v in zip(self.fns.metric_labels, metrics):
+                    self.writer.add_scalar(label, float(v), epoch)
+                lr = self._current_lr(state)
+                self.writer.add_scalar("lr-Adam", lr, epoch)
+                if state.scaler_state is not None:
+                    lam = np.asarray(state.scaler_state.lambda_ema)
+                    self.writer.add_scalars(
+                        "Loss weights",
+                        dict(zip(self.fns.metric_labels[1:1 + len(lam)],
+                                 lam.tolist())), epoch)
+                if self.val_data is not None:
+                    val = self.validate(state.params)
+                    for label, v in zip(
+                            [f"Validation {l}"
+                             for l in error_labels(self.model.dims)], val):
+                        self.writer.add_scalar(label, float(v), epoch)
+
+            if (epoch + 1) % cfg.checkpoint_every == 0:
+                self.save_checkpoint(state, epoch + 1,
+                                     f"checkpoint-epoch={epoch + 1}.ckpt")
+            if (epoch + 1) % cfg.print_every == 0 or epoch == start_epoch:
+                rate = (epoch + 1 - start_epoch) * self.steps_per_epoch \
+                    / max(time.time() - t0, 1e-9)
+                print(f"epoch {epoch + 1}/{cfg.epochs} "
+                      f"total={metrics[0]:.5f} ({rate:.1f} steps/s)")
+
+        self.save_checkpoint(state, cfg.epochs, "model.ckpt")
+        if self._writer is not None:
+            self._writer.flush()
+        return state
+
+    def _current_lr(self, state: TrainState) -> float:  # noqa: D401
+        return _lr_value(self.model, state, self.steps_per_epoch)
+
+
+def _lr_value(model, state, steps_per_epoch) -> float:
+    """exponential_decay schedule value from the step counter."""
+    epochs_done = int(state.step) // max(1, steps_per_epoch)
+    return float(model.learning_rate * model.lr_gamma ** epochs_done)
+
+
+def load_checkpoint(path: str, model: PinnModel, sample_batch: FoamData,
+                    loss_scaler: Optional[LossScaler] = None,
+                    steps_per_epoch: int = 1):
+    """Restore a saved TrainState outside a Trainer (for inference/evaluation
+    pipelines, mirroring ``Model.load_from_checkpoint`` usage in the
+    reference's example scripts)."""
+    from porous_cfd_tpu.train.engine import make_train_functions
+
+    tx = make_optimizer(model, steps_per_epoch)
+    fns = make_train_functions(model, tx, loss_scaler)
+    state = fns.init_state(sample_batch)
+
+    import orbax.checkpoint as ocp
+    template = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        {"state": state, "epoch": 0})
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(Path(path).absolute(), template)
+    return restored["state"], restored["epoch"]
