@@ -1,0 +1,11 @@
+"""duct_fixed_boundary_hard inference — same pipeline as duct_fixed_boundary
+(reference examples/duct_fixed_boundary_hard/inference.py)."""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+from examples.duct_fixed_boundary.inference import run
+
+if __name__ == "__main__":
+    run()

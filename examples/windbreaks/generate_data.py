@@ -1,0 +1,21 @@
+"""windbreaks data generation (reference examples/windbreaks/generate_data.py).
+Requires Blender (bpy) for tree placement/merging and OpenFOAM for the solver."""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+from examples.windbreaks.windbreak_generator import WindbreakGenerator
+from porous_cfd_tpu.datagen.generator import build_arg_parser
+
+
+def run():
+    args = build_arg_parser().parse_args()
+    assets = Path(__file__).resolve().parent / "assets"
+    gen = WindbreakGenerator(str(assets), args.openfoam_dir,
+                             args.openfoam_procs, meta_only=args.meta_only)
+    gen.generate(args.data_root_dir)
+
+
+if __name__ == "__main__":
+    run()

@@ -93,7 +93,7 @@ def plot_fields(title, points, u, p, porous_id, plot_streams=True,
     """4-panel Ux/Uy/p/U figure (visualization_2d.py:139-183); the last panel
     is streamlines or |U| contours (useful for error fields)."""
     points, u, p = (np.asarray(points), np.asarray(u), np.asarray(p))
-    size = [points[:, 0].ptp(), points[:, 1].ptp()]
+    size = [np.ptp(points[:, 0]), np.ptp(points[:, 1])]
     m = max(size)
     fig = plt.figure(figsize=(16 * size[0] / m * 1.1, 16 * size[1] / m),
                      layout="constrained")
