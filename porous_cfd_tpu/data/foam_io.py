@@ -115,8 +115,13 @@ _FLOAT = r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
 
 
 def _parse_numeric_block(body: str) -> np.ndarray:
-    """Parse ``( v v v ... )`` or ``( (x y z) (x y z) ... )`` into an array."""
-    vals = np.fromstring(body.replace("(", " ").replace(")", " "), sep=" ")
+    """Parse ``( v v v ... )`` or ``( (x y z) (x y z) ... )`` into an array.
+    Uses the native single-pass parser (runtime/foamio.cpp) when built, else
+    numpy fromstring over a de-parenthesized copy."""
+    from porous_cfd_tpu.data import native
+    vals = native.parse_floats(body) if native.available() else None
+    if vals is None:
+        vals = np.fromstring(body.replace("(", " ").replace(")", " "), sep=" ")
     if "(" in body.strip()[1:-1]:
         rows = body.count("(") - 1
         return vals.reshape(rows, -1)

@@ -75,6 +75,11 @@ class PinnModel:
         (``postprocess_out``, pipn_foam.py:55-56); None for raw models.
     :param learning_rate/lr_gamma/adam_eps: optimizer recipe (Adam +
         per-epoch ExponentialLR in every reference model).
+    :param derivative_apply: optional fused fast path
+        ``(params, batch, rng, deterministic) -> (out_full, jac, lap)``
+        computing the forward + per-point spatial derivatives analytically
+        (physics/analytic.py); when None the engine uses the exact
+        autodiff operator (physics/operators.py).
     """
     module: nn.Module
     dims: int
@@ -86,6 +91,7 @@ class PinnModel:
     learning_rate: float = 1e-3
     lr_gamma: float = 0.999
     adam_eps: float = 1e-8
+    derivative_apply: Optional[Any] = None
 
     @property
     def out_features(self) -> int:

@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from porous_cfd_tpu.data.foam_data import FoamData
@@ -157,12 +158,69 @@ class PipnPpFullModule(nn.Module):
         return y
 
 
+def pipn_apply_with_derivatives(module: PipnModule):
+    """Build the analytic fast-path derivative function for a PipnModule
+    (see physics/analytic.py): forward + per-point J/H in one (1+2D)x-forward
+    pass instead of nested autodiff. Returns
+    ``fn(params, batch, rng, deterministic) -> (out_full, jac, lap)`` with the
+    engine's conventions (jac/lap shaped (..., Ni, O, D))."""
+    from porous_cfd_tpu.physics import analytic
+
+    def fn(params, batch: FoamData, rng=None, deterministic: bool = True):
+        x_int = batch["internal"]["C"]
+        x_bnd = batch["boundary"]["C"]
+        feats = jnp.concatenate([batch["boundaryId"], batch["sdf"]], axis=-1)
+        act = module.activation
+        fe = params["feature_extract"]
+
+        j0, h0 = analytic.identity_jacobian(x_int)
+        lv_i, lj, lh = analytic.mlp_prop(fe["local_feature"],
+                                         module.fe_local_layers,
+                                         x_int, j0, h0, act)
+        lv_b = analytic.mlp_value(fe["local_feature"], module.fe_local_layers,
+                                  x_bnd, act)
+        local_all = jnp.concatenate([lv_i, lv_b], axis=-2)
+
+        g_in = jnp.concatenate([local_all, feats], axis=-1)
+        g = analytic.mlp_value(fe["global_feature"], module.fe_global_layers,
+                               g_in, act)
+        g = jnp.max(g, axis=-2, keepdims=True)
+
+        g_int = jnp.broadcast_to(g, (*lv_i.shape[:-1], g.shape[-1]))
+        gj, gh = analytic.constant_features(g_int, x_int.shape[-1])
+        v, j, h = analytic.concat_triples([(lv_i, lj, lh), (g_int, gj, gh)])
+        if rng is not None:
+            rng, r_int, r_bnd = jax.random.split(rng, 3)
+        else:
+            r_int = r_bnd = None
+        v, j, h = analytic.mlp_prop(params["decoder"], module.seg_layers,
+                                    v, j, h, act,
+                                    dropout=module.seg_dropout,
+                                    last_activation=False,
+                                    deterministic=deterministic, rng=r_int)
+
+        g_bnd = jnp.broadcast_to(g, (*lv_b.shape[:-1], g.shape[-1]))
+        v_b = analytic.mlp_value(params["decoder"], module.seg_layers,
+                                 jnp.concatenate([lv_b, g_bnd], axis=-1), act,
+                                 dropout=module.seg_dropout,
+                                 last_activation=False,
+                                 deterministic=deterministic, rng=r_bnd)
+
+        out = jnp.concatenate([v, v_b], axis=-2)
+        jac = jnp.swapaxes(j, -1, -2)   # (..., Ni, O, D)
+        lap = jnp.swapaxes(h, -1, -2)
+        return out, jac, lap
+
+    return fn
+
+
 def pipn_manufactured(nu: float, d: float, f: float,
                       fe_local_layers: Sequence[int],
                       fe_global_layers: Sequence[int],
                       seg_layers: Sequence[int],
                       activation: Activation = nn.tanh,
-                      dtype: Any = None) -> PinnModel:
+                      dtype: Any = None,
+                      fast_derivatives: bool = False) -> PinnModel:
     """Physics-only PIPN on raw coordinates (pipn_baseline.py:12-63).
     Note: the reference's feature extractor always uses Tanh here (its
     ``activation`` arg is only applied to the decoder, pipn_baseline.py:39-40);
@@ -175,7 +233,9 @@ def pipn_manufactured(nu: float, d: float, f: float,
         momentum_loss=MomentumLossManufactured(nu, d, f),
         continuity_loss=ContinuityLoss(),
         enable_data_loss=False,
-        learning_rate=1e-3, lr_gamma=0.9995, adam_eps=1e-6)
+        learning_rate=1e-3, lr_gamma=0.9995, adam_eps=1e-6,
+        derivative_apply=(pipn_apply_with_derivatives(module)
+                          if fast_derivatives else None))
 
 
 def pipn_foam(nu: float, d: float, f: float,
@@ -185,7 +245,8 @@ def pipn_foam(nu: float, d: float, f: float,
               scalers: dict,
               seg_dropout: Optional[Sequence[float]] = None,
               activation: Activation = nn.silu,
-              dtype: Any = None) -> PinnModel:
+              dtype: Any = None,
+              fast_derivatives: bool = False) -> PinnModel:
     """Data+physics PIPN with standardized features (pipn_foam.py:15-105)."""
     module = PipnModule(fe_local_layers, fe_global_layers, seg_layers,
                         seg_dropout, activation, dtype=dtype)
@@ -197,7 +258,9 @@ def pipn_foam(nu: float, d: float, f: float,
         continuity_loss=ContinuityLossStandardized(u_s, c_s),
         enable_data_loss=True,
         u_scaler=u_s, p_scaler=p_s,
-        learning_rate=1e-3, lr_gamma=0.999)
+        learning_rate=1e-3, lr_gamma=0.999,
+        derivative_apply=(pipn_apply_with_derivatives(module)
+                          if fast_derivatives else None))
 
 
 def _foam_model(module, dims, nu, d, f, scalers) -> PinnModel:

@@ -87,14 +87,18 @@ def compute_losses(model: PinnModel, params, batch: FoamData, rng,
     and the full-domain predictions."""
     internal = batch["internal"]
     boundary = batch["boundary"]
-    internal_pts = internal["C"]
-    boundary_pts = boundary["C"]
 
-    def apply_fn(pts):
-        all_pts = jnp.concatenate([pts, boundary_pts], axis=-2)
-        return _forward(model, params, all_pts, batch, rng, deterministic)
+    if model.derivative_apply is not None:
+        out, jac, lap = model.derivative_apply(params, batch, rng,
+                                               deterministic)
+    else:
+        boundary_pts = boundary["C"]
 
-    out, jac, lap = pinn_derivatives(apply_fn, internal_pts)
+        def apply_fn(pts):
+            all_pts = jnp.concatenate([pts, boundary_pts], axis=-2)
+            return _forward(model, params, all_pts, batch, rng, deterministic)
+
+        out, jac, lap = pinn_derivatives(apply_fn, internal["C"])
     predicted = FoamData(out, model.predicted_labels, batch.domain)
 
     boundary_p_loss = mse(predicted["boundary"]["p"], boundary["p"])
@@ -189,13 +193,17 @@ def make_train_functions(model: PinnModel,
             out = _forward(model, params, batch["C"], batch, deterministic=True)
             return FoamData(out, model.predicted_labels, batch.domain)
         internal = batch["internal"]
-        boundary_pts = batch["boundary"]["C"]
+        if model.derivative_apply is not None:
+            out, jac, lap = model.derivative_apply(params, batch, None, True)
+        else:
+            boundary_pts = batch["boundary"]["C"]
 
-        def apply_fn(pts):
-            all_pts = jnp.concatenate([pts, boundary_pts], axis=-2)
-            return _forward(model, params, all_pts, batch, deterministic=True)
+            def apply_fn(pts):
+                all_pts = jnp.concatenate([pts, boundary_pts], axis=-2)
+                return _forward(model, params, all_pts, batch,
+                                deterministic=True)
 
-        out, jac, lap = pinn_derivatives(apply_fn, internal["C"])
+            out, jac, lap = pinn_derivatives(apply_fn, internal["C"])
         predicted = FoamData(out, model.predicted_labels, batch.domain)
         u_jac, u_lap, p_grad = split_derivatives(jac, lap, model.dims)
         div = model.continuity_loss.residual(u_jac)

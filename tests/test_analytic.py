@@ -1,0 +1,116 @@
+"""Analytic derivative-propagation fast path: equivalence with the exact
+autodiff operator (away from max-pool argmax rows) and speed-path training."""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from porous_cfd_tpu.data.synthetic import make_foam_batch, make_scalers
+from porous_cfd_tpu.models.mlp import MLP
+from porous_cfd_tpu.models.pipn import (PipnModule, pipn_apply_with_derivatives,
+                                        pipn_foam)
+from porous_cfd_tpu.physics import analytic
+from porous_cfd_tpu.physics.operators import pinn_derivatives
+from porous_cfd_tpu.train.engine import make_optimizer, make_train_functions
+
+
+def test_mlp_prop_matches_autodiff():
+    """(v, J, H) through a plain MLP equals nested autodiff exactly."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 40, 2)), jnp.float32)
+    for act in [nn.tanh, nn.silu]:
+        m = MLP([2, 16, 16, 3], activation=act, last_activation=False)
+        params = m.init(jax.random.PRNGKey(0), x)["params"]
+
+        j0, h0 = analytic.identity_jacobian(x)
+        v, j, h = analytic.mlp_prop(params, [2, 16, 16, 3], x, j0, h0, act,
+                                    last_activation=False)
+
+        out, jac, lap = pinn_derivatives(
+            lambda p: m.apply({"params": params}, p), x)
+        np.testing.assert_allclose(v, out, atol=1e-5)
+        np.testing.assert_allclose(jnp.swapaxes(j, -1, -2), jac, atol=1e-4)
+        np.testing.assert_allclose(jnp.swapaxes(h, -1, -2), lap, atol=1e-4)
+
+
+def test_activation_rules_numerics():
+    v = jnp.linspace(-3, 3, 101)
+    for act, rules in [(jnp.tanh, analytic.tanh_rules),
+                       (jax.nn.silu, analytic.silu_rules)]:
+        val, d1, d2 = rules(v)
+        np.testing.assert_allclose(val, act(v), atol=1e-6)
+        np.testing.assert_allclose(d1, jax.vmap(jax.grad(act))(v), atol=1e-5)
+        np.testing.assert_allclose(
+            d2, jax.vmap(jax.grad(jax.grad(act)))(v), atol=1e-5)
+
+
+def test_pipn_fast_path_matches_autodiff_off_argmax():
+    """The fast path's Jacobian equals the exact operator except at max-pool
+    argmax rows (where torch-style autodiff adds cross-point couplings); the
+    Laplacian additionally differs by a small mixed-derivative term
+    d2out_m/dx_m dx_argmax present at every row under torch semantics."""
+    batch = make_foam_batch(2, 48, 16, 8, seed=3)
+    module = PipnModule([2, 16, 16], [16 + 5, 16, 24], [40, 16, 3],
+                        activation=nn.silu)
+    pts = jnp.concatenate([batch["internal"]["C"], batch["boundary"]["C"]], -2)
+    params = module.init({"params": jax.random.PRNGKey(0)}, pts, batch,
+                         deterministic=True)["params"]
+
+    fast = pipn_apply_with_derivatives(module)
+    out_f, jac_f, lap_f = fast(params, batch, None, True)
+
+    def apply_fn(p):
+        allp = jnp.concatenate([p, batch["boundary"]["C"]], -2)
+        return module.apply({"params": params}, allp, batch,
+                            deterministic=True)
+
+    out_e, jac_e, lap_e = pinn_derivatives(apply_fn, batch["internal"]["C"])
+    np.testing.assert_allclose(out_f, out_e, atol=1e-5)
+
+    # identify argmax rows of the global max-pool per batch element
+    feats = jnp.concatenate([batch["boundaryId"], batch["sdf"]], -1)
+
+    def global_pre(b_idx):
+        local = analytic.mlp_value(params["feature_extract"]["local_feature"],
+                                   [2, 16, 16], pts[b_idx], nn.silu)
+        g_in = jnp.concatenate([local, feats[b_idx]], -1)
+        return analytic.mlp_value(params["feature_extract"]["global_feature"],
+                                  [16 + 5, 16, 24], g_in, nn.silu)
+
+    jac_f, jac_e = np.asarray(jac_f), np.asarray(jac_e)
+    lap_f, lap_e = np.asarray(lap_f), np.asarray(lap_e)
+    for b in range(2):
+        argmax_rows = set(np.asarray(
+            jnp.argmax(global_pre(b), axis=-2)).tolist())
+        clean = [i for i in range(48) if i not in argmax_rows]
+        # Jacobian: exact agreement away from argmax rows
+        np.testing.assert_allclose(jac_f[b, clean], jac_e[b, clean], atol=1e-4)
+        # ... and genuine disagreement AT them (the cross-point coupling)
+        dirty = sorted(r for r in argmax_rows if r < 48)
+        assert np.abs(jac_f[b, dirty] - jac_e[b, dirty]).max() > 1e-3
+        # Laplacian: mixed-term contamination everywhere under torch
+        # semantics — bounded mean deviation, large only at argmax rows
+        assert np.abs(lap_f[b, clean] - lap_e[b, clean]).mean() < 0.05
+        assert np.abs(lap_f[b] - lap_e[b]).mean() < 0.05
+
+
+def test_fast_path_training_step():
+    """A pipn_foam model with fast_derivatives trains: finite loss, decreasing."""
+    batch = make_foam_batch(4, 40, 16, 8, seed=4)
+    model = pipn_foam(1489.4e-6, 14000.0, 17.11,
+                      [2, 16, 16], [16 + 5, 16, 24], [40, 16, 3],
+                      seg_dropout=[0.05, 0],
+                      scalers=make_scalers(), fast_derivatives=True)
+    assert model.derivative_apply is not None
+    tx = make_optimizer(model, 1)
+    fns = make_train_functions(model, tx)
+    state = fns.init_state(batch)
+    first = None
+    for _ in range(10):
+        state, m = fns.train_step(state, batch)
+        first = first if first is not None else float(m[0])
+    assert np.isfinite(float(m[0]))
+    assert float(m[0]) < first
+
+    pred, extras = fns.predict_batch(state.params, batch, True)
+    assert np.isfinite(np.asarray(extras.data)).all()
