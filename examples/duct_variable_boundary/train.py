@@ -41,7 +41,8 @@ def get_model(args, normalizers):
                            n_operators=4,
                            operator_dropout=[0, 0.1, 0.1, 0],
                            scalers=normalizers,
-                           variable_boundaries=VARIABLE_BOUNDARIES)
+                           variable_boundaries=VARIABLE_BOUNDARIES,
+                           fast_derivatives=True)
         case "pi-gano-full":
             return pi_gano(nu=NU, out_features=3,
                            branch_layers=[8, 128, 352, 352, 352],
@@ -51,7 +52,7 @@ def get_model(args, normalizers):
                            operator_dropout=[0, 0.1, 0.1, 0],
                            scalers=normalizers,
                            variable_boundaries=VARIABLE_BOUNDARIES,
-                           full=True)
+                           full=True, fast_derivatives=True)
         case "pi-gano-pp":
             return pi_gano_pp(nu=NU, out_features=3,
                               branch_layers=[8, 128, 352, 352, 352],

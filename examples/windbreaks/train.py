@@ -42,7 +42,8 @@ def get_model(args, normalizers):
                            n_operators=4,
                            operator_dropout=[0, 0.15, 0.15, 0],
                            scalers=normalizers,
-                           variable_boundaries=VARIABLE_BOUNDARIES)
+                           variable_boundaries=VARIABLE_BOUNDARIES,
+                           fast_derivatives=True)
         case "pi-gano-pp":
             return pi_gano_pp(nu=NU, out_features=n + 1,
                               branch_layers=[10, 256, 256, 512],

@@ -173,7 +173,122 @@ class PiGanoPpFullModule(nn.Module):
         return y
 
 
-def _pi_gano_model(module, dims, nu, scalers) -> PinnModel:
+def _neural_ops_prop(params_prefix, n_operators, dropout, act, last_activation,
+                     v, j, h, par, deterministic, rng, analytic):
+    """Propagate (v, J, H) through a NeuralOperatorSequential parameter tree:
+    Dense -> activation -> dropout -> elementwise modulation by the constant
+    branch embedding (constant context: d(par)/dx = 0)."""
+    par_j = par[..., None, :]
+    for i in range(n_operators):
+        p = params_prefix[f"operator_{i}"]["Dense_0"]
+        v, j, h = analytic.dense_prop(p, v, j, h)
+        if not (i == n_operators - 1 and not last_activation):
+            v, j, h = analytic.activation_prop(act, v, j, h)
+        if dropout[i] > 0 and not deterministic:
+            rng, sub = jax.random.split(rng)
+            v, j, h = analytic.dropout_prop(sub, dropout[i], v, j, h)
+        v = v * par
+        j = j * par_j
+        h = h * par_j
+    return v, j, h
+
+
+def _neural_ops_value(params_prefix, n_operators, dropout, act,
+                      last_activation, v, par, deterministic, rng):
+    for i in range(n_operators):
+        p = params_prefix[f"operator_{i}"]["Dense_0"]
+        v = v @ p["kernel"] + p["bias"]
+        if not (i == n_operators - 1 and not last_activation):
+            v = act(v)
+        if dropout[i] > 0 and not deterministic:
+            rng, sub = jax.random.split(rng)
+            keep = 1.0 - dropout[i]
+            mask = jax.random.bernoulli(sub, keep, v.shape).astype(v.dtype)
+            v = v * mask / keep
+        v = v * par
+    return v
+
+
+def pi_gano_apply_with_derivatives(module: PiGanoModule):
+    """Analytic fast-path derivatives for PiGanoModule (physics/analytic.py):
+    the geometry/branch embeddings are pooled context (the reference already
+    stop-gradients the geometry coords, pi_gano.py:59), so only the points
+    encoder + NeuralOperator trunk propagate (v, J, H)."""
+    from porous_cfd_tpu.physics import analytic
+
+    def fn(params, batch: FoamData, rng=None, deterministic: bool = True):
+        x_int = batch["internal"]["C"]
+        x_bnd = batch["boundary"]["C"]
+        pts_all = jnp.concatenate([x_int, x_bnd], axis=-2)
+        act = module.activation
+        d_in = x_int.shape[-1]
+
+        # pooled context: geometry + branch embeddings (value-only)
+        geom_in = jnp.concatenate([batch["boundaryId"], batch["sdf"]], axis=-1)
+        geom = analytic.mlp_value(
+            params["geometry_encoder"]["linear"], module.geometry_layers,
+            jnp.concatenate([geom_in, pts_all], axis=-1), act)
+        geom = jnp.max(geom, axis=-2, keepdims=True)
+        par_features = gather_parameters(batch, module.variable_boundaries)
+        par = analytic.mlp_value(params["branch"]["linear"],
+                                 module.branch_layers, par_features, act)
+        par = jnp.max(par, axis=-2, keepdims=True)
+
+        # points encoder with derivatives (internal) / value (boundary)
+        j0, h0 = analytic.identity_jacobian(x_int)
+        lv, lj, lh = analytic.mlp_prop(params["points_encoder"],
+                                       module.local_layers, x_int, j0, h0, act)
+        lv_b = analytic.mlp_value(params["points_encoder"],
+                                  module.local_layers, x_bnd, act)
+
+        g_int = jnp.broadcast_to(geom, (*lv.shape[:-1], geom.shape[-1]))
+        gj, gh = analytic.constant_features(g_int, d_in)
+        v, j, h = analytic.concat_triples([(lv, lj, lh), (g_int, gj, gh)])
+        g_bnd = jnp.broadcast_to(geom, (*lv_b.shape[:-1], geom.shape[-1]))
+        v_b = jnp.concatenate([lv_b, g_bnd], axis=-1)
+
+        if rng is not None:
+            rng, r_int, r_bnd = jax.random.split(rng, 3)
+        else:
+            r_int = r_bnd = None
+
+        if module.full:
+            outs_i, outs_b = [], []
+            for k in range(module.out_features):
+                vk, jk, hk = _neural_ops_prop(
+                    params[f"neural_ops_{k}"], module.n_operators,
+                    module.operator_dropout, act, False, v, j, h, par,
+                    deterministic, r_int, analytic)
+                outs_i.append((jnp.sum(vk, -1, keepdims=True),
+                               jnp.sum(jk, -1, keepdims=True),
+                               jnp.sum(hk, -1, keepdims=True)))
+                outs_b.append(jnp.sum(_neural_ops_value(
+                    params[f"neural_ops_{k}"], module.n_operators,
+                    module.operator_dropout, act, False, v_b, par,
+                    deterministic, r_bnd), -1, keepdims=True))
+            v, j, h = analytic.concat_triples(outs_i)
+            v_b = jnp.concatenate(outs_b, axis=-1)
+        else:
+            v, j, h = _neural_ops_prop(
+                params["neural_ops"], module.n_operators,
+                module.operator_dropout, act, True, v, j, h, par,
+                deterministic, r_int, analytic)
+            v_b = _neural_ops_value(
+                params["neural_ops"], module.n_operators,
+                module.operator_dropout, act, True, v_b, par,
+                deterministic, r_bnd)
+            red = params["reduction"]
+            v, j, h = analytic.dense_prop(red, v, j, h)
+            v_b = v_b @ red["kernel"] + red["bias"]
+
+        out = jnp.concatenate([v, v_b], axis=-2)
+        return out, jnp.swapaxes(j, -1, -2), jnp.swapaxes(h, -1, -2)
+
+    return fn
+
+
+def _pi_gano_model(module, dims, nu, scalers,
+                   derivative_apply=None) -> PinnModel:
     u_s, p_s, c_s = scalers["U"], scalers["p"], scalers["C"]
     d_s, f_s = scalers["d"], scalers["f"]
     return PinnModel(
@@ -181,19 +296,22 @@ def _pi_gano_model(module, dims, nu, scalers) -> PinnModel:
         momentum_loss=MomentumLossVariable(nu, u_s, c_s, p_s, d_s, f_s),
         continuity_loss=ContinuityLossStandardized(u_s, c_s),
         enable_data_loss=True, u_scaler=u_s, p_scaler=p_s,
-        learning_rate=1e-3, lr_gamma=0.999)
+        learning_rate=1e-3, lr_gamma=0.999,
+        derivative_apply=derivative_apply)
 
 
 def pi_gano(nu: float, out_features: int, branch_layers, geometry_layers,
             local_layers, n_operators, operator_dropout, scalers: dict,
             variable_boundaries: VariableBoundaries,
             activation: Activation = nn.silu, full: bool = False,
-            dtype: Any = None) -> PinnModel:
+            dtype: Any = None, fast_derivatives: bool = False) -> PinnModel:
     """PI-GANO / PI-GANO-full (pi_gano.py)."""
     module = PiGanoModule(out_features, branch_layers, geometry_layers,
                           local_layers, n_operators, operator_dropout,
                           variable_boundaries, activation, full, dtype=dtype)
-    return _pi_gano_model(module, out_features - 1, nu, scalers)
+    return _pi_gano_model(module, out_features - 1, nu, scalers,
+                          pi_gano_apply_with_derivatives(module)
+                          if fast_derivatives else None)
 
 
 def pi_gano_pp(nu: float, out_features: int, branch_layers, geometry_layers,
