@@ -145,6 +145,22 @@ class FoamData:
         return self.data.shape[0]
 
 
+def split_contiguous(batch: FoamData) -> tuple[FoamData, FoamData]:
+    """(internal, boundary) row views via STATIC slices.
+
+    The dataset layout guarantees internal rows [0, Ni) followed by boundary
+    rows [Ni, N) (dataset.py load_case; reference foam_dataset.py:429), so hot
+    loops can slice instead of gather — take_along_axis lowers to slow
+    gather/scatter pairs on TPU.
+    """
+    n_int = batch.domain["internal"].shape[-1]
+    internal = FoamData(batch.data[..., :n_int, :], batch.labels,
+                        {"internal": jnp.arange(n_int)})
+    boundary = FoamData(batch.data[..., n_int:, :], batch.labels,
+                        {"boundary": jnp.arange(batch.data.shape[-2] - n_int)})
+    return internal, boundary
+
+
 def collate(samples: Sequence[FoamData]) -> FoamData:
     """Stack per-case FoamData into a batch (reference ``collate_fn``,
     dataset/foam_dataset.py:83-90). All cases must share schema and shapes."""

@@ -92,6 +92,18 @@ class PinnModel:
     lr_gamma: float = 0.999
     adam_eps: float = 1e-8
     derivative_apply: Optional[Any] = None
+    neighbor_precompute: Optional[Any] = None  # FoamData -> domain-aux dict
+
+    def attach_neighbors(self, dataset):
+        """Merge precomputed neighbor structures (FPS centroids / radius
+        graphs — static per case) into the dataset's domain. No-op when the
+        model has no neighbor chain."""
+        if self.neighbor_precompute is None:
+            return dataset
+        from porous_cfd_tpu.data.foam_data import FoamData
+        aux = self.neighbor_precompute(dataset)
+        return FoamData(dataset.data, dataset.labels,
+                        {**dataset.domain, **aux})
 
     @property
     def out_features(self) -> int:

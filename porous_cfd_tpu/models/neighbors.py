@@ -137,6 +137,41 @@ batched_radius = jax.vmap(radius_neighbors, in_axes=(0, 0, None, None))
 batched_knn_interpolate = jax.vmap(knn_interpolate, in_axes=(0, 0, 0, None))
 
 
+def sa_chain_precompute(pos: jnp.ndarray, fractions, radii, max_neighbors: int):
+    """Precompute the SetAbstraction chain's neighbor structures for a STATIC
+    point cloud: FPS centroids + radius neighborhoods per level.
+
+    Point clouds never change across training epochs (each case is resampled
+    once at dataset load), so these purely-geometric structures can be computed
+    once per run instead of every forward — the sequential FPS argmax loop is
+    the latency bottleneck of the ++ model families.
+
+    :param pos: (B, N, D) source cloud (typically boundary points).
+    :return: dict of arrays {'sa_cent_i': (B, C_i), 'sa_idx_i': (B, C_i, K),
+        'sa_mask_i': (B, C_i, K)} suitable for merging into FoamData.domain.
+    """
+    out = {}
+    for i, (f, r) in enumerate(zip(fractions, radii)):
+        n = pos.shape[-2]
+        cent = batched_fps(pos, fps_count(n, f), 0)
+        pos_c = jax.vmap(lambda a, i_: a[i_])(pos, cent)
+        idx, mask = batched_radius(pos, pos_c, r, max_neighbors)
+        out[f"sa_cent_{i}"] = cent
+        out[f"sa_idx_{i}"] = idx
+        out[f"sa_mask_{i}"] = mask
+        pos = pos_c
+    return out
+
+
+def extract_sa_neighbors(domain: dict, n_layers: int):
+    """Pull a precomputed SA chain (sa_chain_precompute keys) out of a
+    FoamData domain dict; None when absent (compute on the fly)."""
+    if "sa_cent_0" not in domain:
+        return None
+    return [(domain[f"sa_cent_{i}"], domain[f"sa_idx_{i}"],
+             domain[f"sa_mask_{i}"]) for i in range(n_layers)]
+
+
 def masked_max(values: jnp.ndarray, mask: jnp.ndarray, axis: int = -2):
     """Max over ``axis`` counting only masked-in entries; all-masked-out groups
     yield 0 (the scatter-max default the torch reference inherits from

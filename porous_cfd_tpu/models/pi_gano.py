@@ -28,7 +28,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from porous_cfd_tpu.data.foam_data import FoamData
+from porous_cfd_tpu.data.foam_data import FoamData, split_contiguous
 from porous_cfd_tpu.models.base import PinnModel
 from porous_cfd_tpu.models.mlp import (MLP, Activation, Branch,
                                        GeometryEncoder,
@@ -121,10 +121,12 @@ class PiGanoPpModule(nn.Module):
         b_pos = jax.lax.stop_gradient(batch["boundary"]["C"])
         geom_in = jnp.concatenate([b_pos, batch["boundary"]["boundaryId"]],
                                   axis=-1)
+        from porous_cfd_tpu.models.neighbors import extract_sa_neighbors
+        nbrs = extract_sa_neighbors(batch.domain, len(self.geometry_radius))
         geom = GeometryEncoderPp(
             self.geometry_fraction, self.geometry_radius, self.geometry_layers,
             self.activation, self.max_neighbors, dtype=self.dtype,
-            name="geometry_encoder")(geom_in, b_pos, deterministic)
+            name="geometry_encoder")(geom_in, b_pos, deterministic, nbrs)
         local = MLP(self.local_layers, None, self.activation, dtype=self.dtype,
                     name="points_encoder")(points, deterministic)
         geom = jnp.broadcast_to(geom, (*local.shape[:-1], geom.shape[-1]))
@@ -217,8 +219,9 @@ def pi_gano_apply_with_derivatives(module: PiGanoModule):
     from porous_cfd_tpu.physics import analytic
 
     def fn(params, batch: FoamData, rng=None, deterministic: bool = True):
-        x_int = batch["internal"]["C"]
-        x_bnd = batch["boundary"]["C"]
+        internal_view, boundary_view = split_contiguous(batch)
+        x_int = internal_view["C"]
+        x_bnd = boundary_view["C"]
         pts_all = jnp.concatenate([x_int, x_bnd], axis=-2)
         act = module.activation
         d_in = x_int.shape[-1]
@@ -287,8 +290,71 @@ def pi_gano_apply_with_derivatives(module: PiGanoModule):
     return fn
 
 
+def pi_gano_pp_apply_with_derivatives(module: PiGanoPpModule):
+    """Analytic fast path for PiGanoPpModule: the SetAbstraction geometry
+    embedding is pooled from boundary points (stop-gradient in the reference,
+    pi_gano_pp.py:71-72) and the branch features come from batch data, so this
+    matches exact autodiff everywhere."""
+    from porous_cfd_tpu.models.set_abstraction import GeometryEncoderPp
+    from porous_cfd_tpu.physics import analytic
+
+    geom_enc = GeometryEncoderPp(module.geometry_fraction,
+                                 module.geometry_radius,
+                                 module.geometry_layers, module.activation,
+                                 module.max_neighbors, dtype=module.dtype)
+
+    def fn(params, batch: FoamData, rng=None, deterministic: bool = True):
+        internal_view, boundary_view = split_contiguous(batch)
+        x_int = internal_view["C"]
+        x_bnd = boundary_view["C"]
+        act = module.activation
+        d_in = x_int.shape[-1]
+
+        geom_in = jnp.concatenate([x_bnd, boundary_view["boundaryId"]],
+                                  axis=-1)
+        from porous_cfd_tpu.models.neighbors import extract_sa_neighbors
+        nbrs = extract_sa_neighbors(batch.domain, len(module.geometry_radius))
+        geom = geom_enc.apply({"params": params["geometry_encoder"]},
+                              geom_in, x_bnd, deterministic, nbrs)
+        par_features = gather_parameters(batch, module.variable_boundaries)
+        par = analytic.mlp_value(params["branch"]["linear"],
+                                 module.branch_layers, par_features, act)
+        par = jnp.max(par, axis=-2, keepdims=True)
+
+        j0, h0 = analytic.identity_jacobian(x_int)
+        lv, lj, lh = analytic.mlp_prop(params["points_encoder"],
+                                       module.local_layers, x_int, j0, h0, act)
+        lv_b = analytic.mlp_value(params["points_encoder"],
+                                  module.local_layers, x_bnd, act)
+
+        g_int = jnp.broadcast_to(geom, (*lv.shape[:-1], geom.shape[-1]))
+        gj, gh = analytic.constant_features(g_int, d_in)
+        v, j, h = analytic.concat_triples([(lv, lj, lh), (g_int, gj, gh)])
+        g_bnd = jnp.broadcast_to(geom, (*lv_b.shape[:-1], geom.shape[-1]))
+        v_b = jnp.concatenate([lv_b, g_bnd], axis=-1)
+
+        if rng is not None:
+            rng, r_int, r_bnd = jax.random.split(rng, 3)
+        else:
+            r_int = r_bnd = None
+        v, j, h = _neural_ops_prop(params["neural_ops"], module.n_operators,
+                                   module.operator_dropout, act, True,
+                                   v, j, h, par, deterministic, r_int, analytic)
+        v_b = _neural_ops_value(params["neural_ops"], module.n_operators,
+                                module.operator_dropout, act, True, v_b, par,
+                                deterministic, r_bnd)
+        red = params["reduction"]
+        v, j, h = analytic.dense_prop(red, v, j, h)
+        v_b = v_b @ red["kernel"] + red["bias"]
+
+        out = jnp.concatenate([v, v_b], axis=-2)
+        return out, jnp.swapaxes(j, -1, -2), jnp.swapaxes(h, -1, -2)
+
+    return fn
+
+
 def _pi_gano_model(module, dims, nu, scalers,
-                   derivative_apply=None) -> PinnModel:
+                   derivative_apply=None, neighbor_precompute=None) -> PinnModel:
     u_s, p_s, c_s = scalers["U"], scalers["p"], scalers["C"]
     d_s, f_s = scalers["d"], scalers["f"]
     return PinnModel(
@@ -297,7 +363,8 @@ def _pi_gano_model(module, dims, nu, scalers,
         continuity_loss=ContinuityLossStandardized(u_s, c_s),
         enable_data_loss=True, u_scaler=u_s, p_scaler=p_s,
         learning_rate=1e-3, lr_gamma=0.999,
-        derivative_apply=derivative_apply)
+        derivative_apply=derivative_apply,
+        neighbor_precompute=neighbor_precompute)
 
 
 def pi_gano(nu: float, out_features: int, branch_layers, geometry_layers,
@@ -319,13 +386,20 @@ def pi_gano_pp(nu: float, out_features: int, branch_layers, geometry_layers,
                operator_dropout, scalers: dict,
                variable_boundaries: VariableBoundaries,
                activation: Activation = nn.silu, max_neighbors: int = 64,
-               dtype: Any = None) -> PinnModel:
-    """PI-GANO++ (pi_gano_pp.py)."""
+               dtype: Any = None, fast_derivatives: bool = True) -> PinnModel:
+    """PI-GANO++ (pi_gano_pp.py). The analytic fast path is exact for this
+    family (pooled context from boundary points only) and on by default."""
     module = PiGanoPpModule(out_features, branch_layers, geometry_layers,
                             geometry_radius, geometry_fraction, local_layers,
                             n_operators, operator_dropout, variable_boundaries,
                             activation, max_neighbors, dtype=dtype)
-    return _pi_gano_model(module, out_features - 1, nu, scalers)
+    from porous_cfd_tpu.models.pipn import _boundary_sa_precompute
+    return _pi_gano_model(module, out_features - 1, nu, scalers,
+                          pi_gano_pp_apply_with_derivatives(module)
+                          if fast_derivatives else None,
+                          _boundary_sa_precompute(geometry_fraction,
+                                                  geometry_radius,
+                                                  max_neighbors))
 
 
 def pi_gano_pp_full(nu: float, out_features: int, branch_layers, enc_layers,

@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from porous_cfd_tpu.data.foam_data import FoamData
+from porous_cfd_tpu.data.foam_data import FoamData, split_contiguous
 from porous_cfd_tpu.models.base import PinnModel
 from porous_cfd_tpu.models.mlp import MLP, Activation, PointNetFeatureExtract
 from porous_cfd_tpu.models.set_abstraction import (FeaturePropagationSeq,
@@ -88,11 +88,13 @@ class PipnPpModule(nn.Module):
             geom = jnp.concatenate([b_pos, b_id], axis=-1)
         else:
             geom = jnp.concatenate([b_id, b_pos], axis=-1)
+        from porous_cfd_tpu.models.neighbors import extract_sa_neighbors
+        nbrs = extract_sa_neighbors(batch.domain, len(self.fe_radius))
         local, g = PointNetFeatureExtractPp(
             self.fe_local_layers, self.fe_global_layers, self.fe_fraction,
             self.fe_radius, self.activation, self.max_neighbors,
             dtype=self.dtype, name="feature_extract")(
-            geom, b_pos, points, deterministic)
+            geom, b_pos, points, deterministic, nbrs)
         exp_g = jnp.broadcast_to(g, (*local.shape[:-1], g.shape[-1]))
         seg_in = jnp.concatenate([local, exp_g], axis=-1)
         return MLP(self.seg_layers, self.seg_dropout, self.activation,
@@ -167,8 +169,9 @@ def pipn_apply_with_derivatives(module: PipnModule):
     from porous_cfd_tpu.physics import analytic
 
     def fn(params, batch: FoamData, rng=None, deterministic: bool = True):
-        x_int = batch["internal"]["C"]
-        x_bnd = batch["boundary"]["C"]
+        internal_view, boundary_view = split_contiguous(batch)
+        x_int = internal_view["C"]
+        x_bnd = boundary_view["C"]
         feats = jnp.concatenate([batch["boundaryId"], batch["sdf"]], axis=-1)
         act = module.activation
         fe = params["feature_extract"]
@@ -210,6 +213,97 @@ def pipn_apply_with_derivatives(module: PipnModule):
         jac = jnp.swapaxes(j, -1, -2)   # (..., Ni, O, D)
         lap = jnp.swapaxes(h, -1, -2)
         return out, jac, lap
+
+    return fn
+
+
+def pipn_pp_apply_with_derivatives(module):
+    """Analytic fast path for PipnPpModule / PipnPpMrgModule. Their pooled
+    geometry embedding is computed from BOUNDARY points only
+    (pipn_foam.py:154-155, 215-216), which are not differentiated — so unlike
+    plain PIPN this path matches the exact autodiff semantics EVERYWHERE
+    (no argmax coupling on the differentiated inputs). Supported for the
+    plain and MRG variants; the U-Net ('full') variant interpolates across
+    internal points and keeps the exact path."""
+    from porous_cfd_tpu.models.set_abstraction import (SetAbstractionMrgSeq,
+                                                       SetAbstractionSeq)
+    from porous_cfd_tpu.physics import analytic
+
+    is_mrg = isinstance(module, PipnPpMrgModule)
+    if is_mrg:
+        geom_seq = SetAbstractionMrgSeq(module.mrg_in_features, module.n_dims,
+                                        module.activation,
+                                        module.max_neighbors,
+                                        dtype=module.dtype)
+        local_layers = module.fe_local_layers
+        local_params_key = ("local_fe",)
+        geom_params_key = "global_fe"
+    else:
+        geom_seq = SetAbstractionSeq(module.fe_fraction, module.fe_radius,
+                                     module.fe_global_layers,
+                                     return_skip=False,
+                                     activation=module.activation,
+                                     max_neighbors=module.max_neighbors,
+                                     dtype=module.dtype)
+        local_layers = module.fe_local_layers
+        local_params_key = ("feature_extract", "local_feature")
+        geom_params_key = ("feature_extract", "global_feature")
+
+    def get_sub(params, key):
+        if isinstance(key, tuple):
+            for k in key:
+                params = params[k]
+            return params
+        return params[key]
+
+    def fn(params, batch: FoamData, rng=None, deterministic: bool = True):
+        internal_view, boundary_view = split_contiguous(batch)
+        x_int = internal_view["C"]
+        x_bnd = boundary_view["C"]
+        act = module.activation
+        boundary = boundary_view
+        if is_mrg:
+            geom_in = jnp.concatenate([boundary["boundaryId"], boundary["C"]],
+                                      axis=-1)
+            g = geom_seq.apply({"params": get_sub(params, geom_params_key)},
+                               geom_in, x_bnd, deterministic)
+        else:
+            if module.geom_features_order == "C_first":
+                geom_in = jnp.concatenate([boundary["C"],
+                                           boundary["boundaryId"]], axis=-1)
+            else:
+                geom_in = jnp.concatenate([boundary["boundaryId"],
+                                           boundary["C"]], axis=-1)
+            from porous_cfd_tpu.models.neighbors import extract_sa_neighbors
+            nbrs = extract_sa_neighbors(batch.domain, len(module.fe_radius))
+            g, _ = geom_seq.apply({"params": get_sub(params, geom_params_key)},
+                                  geom_in, x_bnd, deterministic, nbrs)
+
+        local_params = get_sub(params, local_params_key)
+        j0, h0 = analytic.identity_jacobian(x_int)
+        lv_i, lj, lh = analytic.mlp_prop(local_params, local_layers,
+                                         x_int, j0, h0, act)
+        lv_b = analytic.mlp_value(local_params, local_layers, x_bnd, act)
+
+        g_int = jnp.broadcast_to(g, (*lv_i.shape[:-1], g.shape[-1]))
+        gj, gh = analytic.constant_features(g_int, x_int.shape[-1])
+        v, j, h = analytic.concat_triples([(lv_i, lj, lh), (g_int, gj, gh)])
+        if rng is not None:
+            rng, r_int, r_bnd = jax.random.split(rng, 3)
+        else:
+            r_int = r_bnd = None
+        v, j, h = analytic.mlp_prop(params["decoder"], module.seg_layers,
+                                    v, j, h, act, dropout=module.seg_dropout,
+                                    last_activation=False,
+                                    deterministic=deterministic, rng=r_int)
+        g_bnd = jnp.broadcast_to(g, (*lv_b.shape[:-1], g.shape[-1]))
+        v_b = analytic.mlp_value(params["decoder"], module.seg_layers,
+                                 jnp.concatenate([lv_b, g_bnd], axis=-1), act,
+                                 dropout=module.seg_dropout,
+                                 last_activation=False,
+                                 deterministic=deterministic, rng=r_bnd)
+        out = jnp.concatenate([v, v_b], axis=-2)
+        return out, jnp.swapaxes(j, -1, -2), jnp.swapaxes(h, -1, -2)
 
     return fn
 
@@ -263,22 +357,39 @@ def pipn_foam(nu: float, d: float, f: float,
                           if fast_derivatives else None))
 
 
-def _foam_model(module, dims, nu, d, f, scalers) -> PinnModel:
+def _boundary_sa_precompute(fractions, radii, max_neighbors):
+    """Dataset-level precompute closure for boundary-cloud SA chains."""
+    from porous_cfd_tpu.models.neighbors import sa_chain_precompute
+
+    def fn(dataset: FoamData):
+        _, boundary = split_contiguous(dataset)
+        return sa_chain_precompute(boundary["C"], fractions, radii,
+                                   max_neighbors)
+
+    return fn
+
+
+def _foam_model(module, dims, nu, d, f, scalers,
+                derivative_apply=None, neighbor_precompute=None) -> PinnModel:
     u_s, p_s, c_s = scalers["U"], scalers["p"], scalers["C"]
     return PinnModel(
         module=module, dims=dims,
         momentum_loss=MomentumLossFixed(nu, d, f, u_s, c_s, p_s),
         continuity_loss=ContinuityLossStandardized(u_s, c_s),
         enable_data_loss=True, u_scaler=u_s, p_scaler=p_s,
-        learning_rate=1e-3, lr_gamma=0.999)
+        learning_rate=1e-3, lr_gamma=0.999,
+        derivative_apply=derivative_apply,
+        neighbor_precompute=neighbor_precompute)
 
 
 def pipn_manufactured_pp(nu: float, d: float, f: float,
                          fe_local_layers, fe_global_layers,
                          fe_global_radius, fe_global_fraction, seg_layers,
                          activation: Activation = nn.tanh,
-                         max_neighbors: int = 64, dtype: Any = None) -> PinnModel:
-    """Physics-only PIPN++ (pipn_baseline.py:66-124)."""
+                         max_neighbors: int = 64, dtype: Any = None,
+                         fast_derivatives: bool = True) -> PinnModel:
+    """Physics-only PIPN++ (pipn_baseline.py:66-124). Fast path exact
+    (see pipn_foam_pp)."""
     module = PipnPpModule(fe_local_layers, fe_global_layers, fe_global_radius,
                           fe_global_fraction, seg_layers, None, activation,
                           max_neighbors, geom_features_order="id_first",
@@ -288,32 +399,44 @@ def pipn_manufactured_pp(nu: float, d: float, f: float,
         momentum_loss=MomentumLossManufactured(nu, d, f),
         continuity_loss=ContinuityLoss(),
         enable_data_loss=False,
-        learning_rate=1e-3, lr_gamma=0.9995, adam_eps=1e-6)
+        learning_rate=1e-3, lr_gamma=0.9995, adam_eps=1e-6,
+        derivative_apply=(pipn_pp_apply_with_derivatives(module)
+                          if fast_derivatives else None))
 
 
 def pipn_foam_pp(nu: float, d: float, f: float,
                  fe_local_layers, fe_global_layers, fe_radius, fe_fraction,
                  seg_layers, scalers: dict, seg_dropout=None,
                  activation: Activation = nn.silu,
-                 max_neighbors: int = 64, dtype: Any = None) -> PinnModel:
-    """PIPN++ with standardized features (pipn_foam.py:108-166)."""
+                 max_neighbors: int = 64, dtype: Any = None,
+                 fast_derivatives: bool = True) -> PinnModel:
+    """PIPN++ with standardized features (pipn_foam.py:108-166). The analytic
+    fast path is EXACT for this family (geometry pooled over boundary points
+    only) and on by default."""
     module = PipnPpModule(fe_local_layers, fe_global_layers, fe_radius,
                           fe_fraction, seg_layers, seg_dropout, activation,
                           max_neighbors, geom_features_order="C_first",
                           dtype=dtype)
-    return _foam_model(module, seg_layers[-1] - 1, nu, d, f, scalers)
+    return _foam_model(module, seg_layers[-1] - 1, nu, d, f, scalers,
+                       pipn_pp_apply_with_derivatives(module)
+                       if fast_derivatives else None,
+                       _boundary_sa_precompute(fe_fraction, fe_radius,
+                                               max_neighbors))
 
 
 def pipn_foam_pp_mrg(n_dims: int, mrg_in_features: int,
                      nu: float, d: float, f: float,
                      fe_local_layers, seg_layers, scalers: dict,
                      seg_dropout=None, activation: Activation = nn.silu,
-                     max_neighbors: int = 64, dtype: Any = None) -> PinnModel:
-    """PIPN++ MRG (pipn_foam.py:169-226)."""
+                     max_neighbors: int = 64, dtype: Any = None,
+                     fast_derivatives: bool = True) -> PinnModel:
+    """PIPN++ MRG (pipn_foam.py:169-226). Fast path exact (see pipn_foam_pp)."""
     module = PipnPpMrgModule(n_dims, mrg_in_features, fe_local_layers,
                              seg_layers, seg_dropout, activation,
                              max_neighbors, dtype=dtype)
-    return _foam_model(module, seg_layers[-1] - 1, nu, d, f, scalers)
+    return _foam_model(module, seg_layers[-1] - 1, nu, d, f, scalers,
+                       pipn_pp_apply_with_derivatives(module)
+                       if fast_derivatives else None)
 
 
 def pipn_foam_pp_full(nu: float, d: float, f: float,

@@ -48,12 +48,19 @@ class SetAbstraction(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, pos, deterministic: bool = True):
-        n = pos.shape[-2]
-        n_centroids = fps_count(n, self.ratio)
-        centroids = batched_fps(pos, n_centroids, 0)           # (B, C)
-        pos_c = _gather_points(pos, centroids)                 # (B, C, D)
-        idx, mask = batched_radius(pos, pos_c, self.r, self.max_neighbors)
+    def __call__(self, x, pos, deterministic: bool = True, neighbors=None):
+        """``neighbors``: optional precomputed (centroids, idx, mask) from
+        ``neighbors.sa_chain_precompute`` — point clouds are static, so the
+        FPS/radius structures can be computed once per run."""
+        if neighbors is not None:
+            centroids, idx, mask = neighbors
+            pos_c = _gather_points(pos, centroids)
+        else:
+            n = pos.shape[-2]
+            n_centroids = fps_count(n, self.ratio)
+            centroids = batched_fps(pos, n_centroids, 0)       # (B, C)
+            pos_c = _gather_points(pos, centroids)             # (B, C, D)
+            idx, mask = batched_radius(pos, pos_c, self.r, self.max_neighbors)
         neigh_x = _gather_points(x, idx)                       # (B, C, K, F)
         neigh_pos = _gather_points(pos, idx)                   # (B, C, K, D)
         rel = (neigh_pos - pos_c[..., None, :]) / self.r
@@ -94,13 +101,15 @@ class SetAbstractionSeq(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, pos, deterministic: bool = True):
+    def __call__(self, x, pos, deterministic: bool = True, neighbors=None):
         skips = [(x, pos)]
         for i, (f, r, layers) in enumerate(
                 zip(self.fraction, self.radius, self.conv_mlp)):
             x, pos = SetAbstraction(f, r, layers, self.max_neighbors,
                                     self.activation, dtype=self.dtype,
-                                    name=f"sa_{i}")(x, pos, deterministic)
+                                    name=f"sa_{i}")(
+                x, pos, deterministic,
+                neighbors[i] if neighbors is not None else None)
             skips.append((x, pos))
         if len(self.conv_mlp) > len(self.radius):
             x, pos = GlobalSetAbstraction(self.conv_mlp[-1], self.activation,
@@ -259,7 +268,7 @@ class PointNetFeatureExtractPp(nn.Module):
 
     @nn.compact
     def __call__(self, geom_features, geom_pos, global_pos,
-                 deterministic: bool = True):
+                 deterministic: bool = True, neighbors=None):
         local = MLP(self.local_layers, activation=self.activation,
                     dtype=self.dtype, name="local_feature")(global_pos,
                                                             deterministic)
@@ -267,7 +276,8 @@ class PointNetFeatureExtractPp(nn.Module):
             self.global_fraction, self.global_radius, self.global_layers,
             return_skip=False, activation=self.activation,
             max_neighbors=self.max_neighbors, dtype=self.dtype,
-            name="global_feature")(geom_features, geom_pos, deterministic)
+            name="global_feature")(geom_features, geom_pos, deterministic,
+                                   neighbors)
         return local, g
 
 
@@ -282,9 +292,10 @@ class GeometryEncoderPp(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, pos, deterministic: bool = True):
+    def __call__(self, x, pos, deterministic: bool = True, neighbors=None):
         g, _ = SetAbstractionSeq(
             self.fraction, self.radius, self.conv_mlp, return_skip=False,
             activation=self.activation, max_neighbors=self.max_neighbors,
-            dtype=self.dtype, name="set_abstraction")(x, pos, deterministic)
+            dtype=self.dtype, name="set_abstraction")(x, pos, deterministic,
+                                                      neighbors)
         return g

