@@ -42,10 +42,10 @@ class WindbreakGenerator(Generator3DBase):
 
         with open(Path(meshes_dir) / "config.json") as f:
             config = json.load(f)
-        trees = [m for m in config["species"]]
-        houses = sorted(glob.glob(f"{meshes_dir}/house*.obj"))
+        trees = list(config["cfd params"]["trees"].keys())
+        houses = sorted(glob.glob(f"{meshes_dir}/houses/*.obj"))
 
-        for i in range(config.get("n cases", 50)):
+        for i in range(config["cfd params"].get("n cases", 50)):
             case_dir = Path(dest_dir) / str(i)
             case_dir.mkdir(parents=True, exist_ok=True)
             ops.object.select_all(action="SELECT")
@@ -105,7 +105,7 @@ class WindbreakGenerator(Generator3DBase):
         with open(Path(case_config_dir) / "config.json") as f:
             config = json.load(f)
         inlets = config["cfd params"]["inlet"]
-        species_coeffs = config["species"]
+        species_coeffs = config["cfd params"]["trees"]
         for m_c in sorted(glob.glob(f"{meshes_dir}/*/")):
             species = json.loads(
                 (Path(m_c) / "species.json").read_text())["species"]
