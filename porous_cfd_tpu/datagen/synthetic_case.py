@@ -164,12 +164,22 @@ def write_foam_split(split_dir: str | Path, n_cases: int,
             pu = rng.normal(size=(n_per_patch, dims))
             if variable and pn == "inlet":
                 pu = np.tile(rng.normal(size=(1, dims)), (n_per_patch, 1))
-            patch_fields[pn] = {"U": pu, "p": rng.normal(size=n_per_patch)}
+            patch_fields[pn] = {
+                "U": pu,
+                "p": rng.normal(size=n_per_patch),
+                # CFD residual fields the evaluation pipeline cross-checks
+                # against (evaluation.py:162-164 in the reference)
+                "momentError": rng.normal(size=(n_per_patch, dims)) * 1e-3,
+                "div(phi)": rng.normal(size=n_per_patch) * 1e-4,
+            }
 
         di = d * (1 + (rng.uniform() - 0.5) * 0.2) if variable else d
         fi = f * (1 + (rng.uniform() - 0.5) * 0.2) if variable else f
         write_case(Path(split_dir) / f"case_{i}", pts, zone, patches,
-                   fields={"U": u, "p": p}, patch_fields=patch_fields,
+                   fields={"U": u, "p": p,
+                           "momentError": rng.normal(size=(n_internal, dims)) * 1e-3,
+                           "div(phi)": rng.normal(size=n_internal) * 1e-4},
+                   patch_fields=patch_fields,
                    d=di, f=fi, elapsed_ns=int(rng.integers(5, 50) * 1e8))
 
 

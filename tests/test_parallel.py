@@ -59,3 +59,13 @@ def test_steps_per_sec():
     rate, state = steps_per_sec(lambda s: step(s), jnp.zeros((4,)), n_steps=5)
     assert rate > 0
     np.testing.assert_allclose(state, 6.0)
+
+
+def test_profiler_trace(tmp_path):
+    """jax.profiler trace context produces artifacts."""
+    import jax.numpy as jnp
+    from porous_cfd_tpu.utils.profiling import trace
+    with trace(str(tmp_path)):
+        _ = jax.jit(lambda x: x * 2)(jnp.ones((8, 8))).block_until_ready()
+    assert list(tmp_path.rglob("*.pb")) or list(tmp_path.rglob("*.json*")) \
+        or list(tmp_path.rglob("*.trace*")) or list(tmp_path.iterdir())
