@@ -26,22 +26,38 @@ class Generator2DFixedHard(Generator2DBase):
     n_cases = 200
 
     def add_porous_meshes_to_case(self, case_path: str, meshes: list[str]):
-        """Register each composed sub-mesh in snappyHexMeshDict /
-        surfaceFeatureExtractDict (reference :16-72). Duplicates the template
-        'mesh' geometry/feature/refinement entries per sub-mesh via text
-        templating."""
+        """Register each composed sub-mesh in snappyHexMeshDict (reference
+        :16-72): the template's single 'mesh' geometry and refinementSurfaces
+        entries are used as templates, duplicated once per sub-mesh with its
+        own insidePoint."""
         snappy = Path(case_path) / "system" / "snappyHexMeshDict"
         text = snappy.read_text()
+
+        geo_m = re.search(r"(mesh\.obj\s*\{.*?\n    \})", text, re.DOTALL)
+        surf_m = re.search(
+            r"(        mesh\s*\{.*?\n        \})", text, re.DOTALL)
+        if geo_m is None or surf_m is None:
+            raise ValueError(f"template {snappy} lacks the 'mesh' entries")
+
+        geo_blocks, surf_blocks = [], []
         for m in sorted(meshes):
             inside = self.get_location_inside(
                 f"{case_path}/constant/triSurface/{m}.obj")
             vec = f"({inside[0]} {inside[1]} {inside[2]})"
-            block = text
-            block = block.replace("mesh.obj", f"{m}.obj")
-            block = block.replace('name mesh', f"name {m}")
-            block = re.sub(r"insidePoint\s+\([^)]*\)\s*;",
-                           f"insidePoint {vec};", block)
-            text = block
+            geo = geo_m.group(1).replace("mesh.obj", f"{m}.obj")
+            geo = geo.replace("name mesh;", f"name {m};")
+            surf = surf_m.group(1).replace("mesh\n", f"{m}\n", 1)
+            surf = re.sub(r"^        mesh\s*\{", f"        {m}\n        {{",
+                          surf)
+            surf = re.sub(r"insidePoint\s+\([^)]*\)\s*;",
+                          f"insidePoint {vec};", surf)
+            surf = surf.replace("faceZone mesh;", f"faceZone {m};")
+            surf = surf.replace("cellZone mesh;", f"cellZone {m};")
+            geo_blocks.append(geo)
+            surf_blocks.append(surf)
+
+        text = text.replace(geo_m.group(1), "\n    ".join(geo_blocks))
+        text = text.replace(surf_m.group(1), "\n".join(surf_blocks))
         snappy.write_text(text)
 
     def generate_object(self, meshes_dir: str, src_meshes: list[str],
