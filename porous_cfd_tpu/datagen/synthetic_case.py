@@ -147,10 +147,12 @@ def write_foam_split(split_dir: str | Path, n_cases: int,
                      rng: np.random.Generator,
                      n_internal: int = 300, n_per_patch: int = 40,
                      dims: int = 2, d: float = 14000.0, f: float = 17.11,
-                     variable: bool = False) -> None:
+                     variable: bool = False,
+                     patch_names: list[str] | None = None) -> None:
     """A split of full solver-style cases (U, p + coefficient fields) with the
-    duct patch set inlet/outlet/walls/interface."""
-    patch_names = ["inlet", "interface", "outlet", "walls"]
+    duct patch set inlet/outlet/walls/interface (override ``patch_names`` for
+    e.g. the windbreaks 'solid' house patch)."""
+    patch_names = patch_names or ["inlet", "interface", "outlet", "walls"]
     for i in range(n_cases):
         pts = rng.uniform(-1, 1, size=(n_internal, dims))
         zone = (pts[:, 0] > 0.3).astype(np.float64)

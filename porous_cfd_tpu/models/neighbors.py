@@ -20,7 +20,7 @@ Deviations from torch_cluster, documented:
 from __future__ import annotations
 
 import math
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

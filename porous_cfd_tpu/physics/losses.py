@@ -15,7 +15,7 @@ dataclasses so scaler statistics ride through jit as leaves.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
+
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ lambdas under ``no_grad``), so callers apply them to a stop-gradient copy-free
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+
 
 import flax.struct
 import jax
