@@ -193,18 +193,31 @@ class FoamDataset:
 
     def add_sdf(self, internal: Table, patches: dict[str, Table]):
         """SDF feature (foam_dataset.py:360-381): min distance from every point
-        to the boundary points, max-normalized; internal porous side negative."""
+        to the boundary points, max-normalized; internal porous side negative.
+        Large clouds route through the device-accelerated chunked reduction
+        (ops/distance.py) instead of a host O(N*M) matrix."""
         bnd_points = np.concatenate([t["C"] for t in patches.values()])
         all_points = np.concatenate([internal["C"], bnd_points])
         if "C" in self.normalizers:
             c = self.normalizers["C"]
             all_points = np.asarray(c.inverse_transform(all_points))
             bnd_points = np.asarray(c.inverse_transform(bnd_points))
+        n_int = len(internal["C"])
+        if all_points.shape[0] * bnd_points.shape[0] > 2_000_000:
+            from porous_cfd_tpu.ops.distance import sdf_feature
+            sdf = sdf_feature(all_points[:n_int], bnd_points,
+                              internal["cellToRegion"][:, 0])
+            internal["sdf"] = sdf[:n_int][:, None]
+            off = n_int
+            for t in patches.values():
+                n = len(t["C"])
+                t["sdf"] = sdf[off:off + n][:, None]
+                off += n
+            return
         d = np.linalg.norm(all_points[:, None, :] - bnd_points[None, :, :],
                            axis=-1)
         sdf = np.min(d, axis=-1)
         sdf = sdf / np.max(sdf)
-        n_int = len(internal["C"])
         sign = (0.5 - internal["cellToRegion"][:, 0]) * 2
         internal["sdf"] = (sdf[:n_int] * sign)[:, None]
         off = n_int
