@@ -93,6 +93,12 @@ class PinnModel:
     adam_eps: float = 1e-8
     derivative_apply: Optional[Any] = None
     neighbor_precompute: Optional[Any] = None  # FoamData -> domain-aux dict
+    remat: bool = False  # checkpoint the forward inside the second-order graph
+    # (required for the U-Net variants at reference point counts: their
+    # (B, C, K, F) neighborhood tensors x 2nd-order tangents exceed HBM)
+    microbatch: Optional[int] = None  # gradient-accumulation micro-batch rows:
+    # bound the live second-order graph to `microbatch` cases at a time (the
+    # torch reference's sequential autograd replays have the same effect)
 
     def attach_neighbors(self, dataset):
         """Merge precomputed neighbor structures (FPS centroids / radius

@@ -172,6 +172,58 @@ def extract_sa_neighbors(domain: dict, n_layers: int):
              domain[f"sa_mask_{i}"]) for i in range(n_layers)]
 
 
+def unet_chain_precompute(pos: jnp.ndarray, fractions, radii,
+                          max_neighbors: int, dec_k, has_global: bool):
+    """Neighbor structures for a U-Net SA encoder + FP decoder over a STATIC
+    cloud: the SA chain (as sa_chain_precompute) plus the kNN indices of each
+    FeaturePropagation level. Indices are discrete (gradient-free), so caching
+    them is semantically identical to per-step recomputation; the
+    interpolation WEIGHTS stay differentiable (recomputed from the indices).
+
+    :param dec_k: k per FP level (decoder walks the skip list backwards).
+    :param has_global: encoder ends in a GlobalSetAbstraction level.
+    :return: domain-aux dict with sa_* keys and fp_idx_i keys.
+    """
+    out = sa_chain_precompute(pos, fractions, radii, max_neighbors)
+    level_pos = [pos]
+    for i in range(len(fractions)):
+        level_pos.append(jax.vmap(lambda a, c: a[c])(
+            level_pos[-1], out[f"sa_cent_{i}"]))
+    if has_global:
+        level_pos.append(jnp.zeros((pos.shape[0], 1, pos.shape[-1]),
+                                   pos.dtype))
+    # FP level i interpolates from level (L-i) down to level (L-i-1)
+    n_levels = len(level_pos)
+    for i, k in enumerate(dec_k):
+        src = level_pos[n_levels - 1 - i]
+        query = level_pos[n_levels - 2 - i]
+        idx, _ = jax.vmap(knn, in_axes=(0, 0, None))(src, query, k)
+        out[f"fp_idx_{i}"] = idx
+    return out
+
+
+def extract_fp_idx(domain: dict, n_layers: int):
+    if "fp_idx_0" not in domain:
+        return None
+    return [domain[f"fp_idx_{i}"] for i in range(n_layers)]
+
+
+def knn_interpolate_with_idx(x: jnp.ndarray, pos_src: jnp.ndarray,
+                             pos_query: jnp.ndarray, idx: jnp.ndarray
+                             ) -> jnp.ndarray:
+    """knn_interpolate with precomputed neighbor indices; the inverse-square
+    weights are recomputed (differentiable) from the positions."""
+    diff = pos_query[..., :, None, :] - pos_src[idx]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    w = 1.0 / jnp.maximum(d2, 1e-12)
+    neigh = x[idx]
+    return jnp.sum(neigh * w[..., None], axis=-2) / jnp.sum(w, axis=-1,
+                                                            keepdims=True)
+
+
+batched_knn_interpolate_with_idx = jax.vmap(knn_interpolate_with_idx)
+
+
 def masked_max(values: jnp.ndarray, mask: jnp.ndarray, axis: int = -2):
     """Max over ``axis`` counting only masked-in entries; all-masked-out groups
     yield 0 (the scatter-max default the torch reference inherits from

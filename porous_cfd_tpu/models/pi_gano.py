@@ -155,6 +155,7 @@ class PiGanoPpFullModule(nn.Module):
     variable_boundaries: VariableBoundaries
     activation: Activation = nn.silu
     max_neighbors: int = 64
+    k_chunks: int = 8  # bound SA neighborhood temporaries (2nd-order graphs)
     dtype: Any = None
 
     @nn.compact
@@ -162,16 +163,22 @@ class PiGanoPpFullModule(nn.Module):
         param_features = gather_parameters(batch, self.variable_boundaries)
         par = Branch(self.branch_layers, self.activation, dtype=self.dtype,
                      name="branch")(param_features, deterministic)
+        from porous_cfd_tpu.models.neighbors import (extract_fp_idx,
+                                                     extract_sa_neighbors)
+        nbrs = extract_sa_neighbors(batch.domain, len(self.enc_radius))
+        fp_idx = extract_fp_idx(batch.domain, len(self.dec_k))
         sa_in = jnp.concatenate([batch["sdf"], batch["boundaryId"], points],
                                 axis=-1)
         (x, pos), skips = SetAbstractionSeq(
             self.enc_fraction, self.enc_radius, self.enc_layers,
             return_skip=True, activation=self.activation,
-            max_neighbors=self.max_neighbors, dtype=self.dtype,
-            name="encoder")(sa_in, points, deterministic)
+            max_neighbors=self.max_neighbors, k_chunks=self.k_chunks,
+            dtype=self.dtype,
+            name="encoder")(sa_in, points, deterministic, nbrs)
         y, _ = FeaturePropagationNeuralOperatorSeq(
             self.dec_layers, self.dec_k, self.fp_dropout, self.activation,
-            dtype=self.dtype, name="decoder")(par, x, pos, skips, deterministic)
+            dtype=self.dtype, name="decoder")(par, x, pos, skips,
+                                              deterministic, fp_idx)
         return y
 
 
@@ -415,4 +422,10 @@ def pi_gano_pp_full(nu: float, out_features: int, branch_layers, enc_layers,
                                 enc_radius, enc_fraction, dec_layers, dec_k,
                                 fp_dropout, variable_boundaries, activation,
                                 max_neighbors, dtype=dtype)
-    return _pi_gano_model(module, out_features - 1, nu, scalers)
+    from porous_cfd_tpu.models.pipn import _all_points_unet_precompute
+    model = _pi_gano_model(module, out_features - 1, nu, scalers,
+                           neighbor_precompute=_all_points_unet_precompute(
+                               enc_fraction, enc_radius, max_neighbors, dec_k,
+                               len(enc_layers) > len(enc_radius)))
+    import dataclasses as _dc
+    return _dc.replace(model, remat=True, microbatch=2)

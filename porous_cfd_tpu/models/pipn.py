@@ -143,20 +143,27 @@ class PipnPpFullModule(nn.Module):
     dec_dropout: Optional[Sequence[Any]] = None
     activation: Activation = nn.silu
     max_neighbors: int = 64
+    k_chunks: int = 8  # bound SA neighborhood temporaries (2nd-order graphs)
     dtype: Any = None
 
     @nn.compact
     def __call__(self, points, batch: FoamData, deterministic: bool = True):
+        from porous_cfd_tpu.models.neighbors import (extract_fp_idx,
+                                                     extract_sa_neighbors)
+        nbrs = extract_sa_neighbors(batch.domain, len(self.enc_radius))
+        fp_idx = extract_fp_idx(batch.domain, len(self.dec_k))
         x_in = jnp.concatenate([batch["sdf"], batch["boundaryId"], points],
                                axis=-1)
         (x, pos), skips = SetAbstractionSeq(
             self.enc_fraction, self.enc_radius, self.enc_layers,
             return_skip=True, activation=self.activation,
-            max_neighbors=self.max_neighbors, dtype=self.dtype,
-            name="encoder")(x_in, points, deterministic)
+            max_neighbors=self.max_neighbors, k_chunks=self.k_chunks,
+            dtype=self.dtype,
+            name="encoder")(x_in, points, deterministic, nbrs)
         y, _ = FeaturePropagationSeq(
             self.dec_layers, self.dec_k, self.dec_dropout, self.activation,
-            dtype=self.dtype, name="decoder")(x, pos, skips, deterministic)
+            dtype=self.dtype, name="decoder")(x, pos, skips, deterministic,
+                                              fp_idx)
         return y
 
 
@@ -439,13 +446,36 @@ def pipn_foam_pp_mrg(n_dims: int, mrg_in_features: int,
                        if fast_derivatives else None)
 
 
+def _all_points_unet_precompute(fractions, radii, max_neighbors, dec_k,
+                                has_global):
+    """Precompute closure for U-Net chains over ALL points. The point clouds
+    are static, so SA centroids/graphs and FP kNN indices never change; only
+    the (differentiable) interpolation weights are recomputed per step."""
+    from porous_cfd_tpu.models.neighbors import unet_chain_precompute
+
+    def fn(dataset: FoamData):
+        internal_view, boundary_view = split_contiguous(dataset)
+        pos = jnp.concatenate([internal_view["C"], boundary_view["C"]],
+                              axis=-2)
+        return unet_chain_precompute(pos, fractions, radii, max_neighbors,
+                                     dec_k, has_global)
+
+    return fn
+
+
 def pipn_foam_pp_full(nu: float, d: float, f: float,
                       enc_layers, enc_radius, enc_fraction,
                       dec_layers, dec_k, scalers: dict, dec_dropout=None,
                       activation: Activation = nn.silu,
                       max_neighbors: int = 64, dtype: Any = None) -> PinnModel:
-    """U-Net PIPN++ (pipn_foam.py:229-290)."""
+    """U-Net PIPN++ (pipn_foam.py:229-290). SA/FP neighbor structures over the
+    (static) point clouds are precomputed per run."""
     module = PipnPpFullModule(enc_layers, enc_radius, enc_fraction, dec_layers,
                               dec_k, dec_dropout, activation, max_neighbors,
                               dtype=dtype)
-    return _foam_model(module, dec_layers[-1][-1] - 1, nu, d, f, scalers)
+    model = _foam_model(module, dec_layers[-1][-1] - 1, nu, d, f, scalers,
+                        neighbor_precompute=_all_points_unet_precompute(
+                            enc_fraction, enc_radius, max_neighbors, dec_k,
+                            len(enc_layers) > len(enc_radius)))
+    import dataclasses as _dc
+    return _dc.replace(model, remat=True, microbatch=2)

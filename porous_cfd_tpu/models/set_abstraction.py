@@ -22,9 +22,10 @@ import jax
 import jax.numpy as jnp
 
 from porous_cfd_tpu.models.mlp import MLP, Activation
-from porous_cfd_tpu.models.neighbors import (batched_fps, batched_radius,
-                                             fps_count,
+from porous_cfd_tpu.models.neighbors import (batched_fps,
                                              batched_knn_interpolate,
+                                             batched_knn_interpolate_with_idx,
+                                             batched_radius, fps_count,
                                              masked_max)
 
 
@@ -45,13 +46,19 @@ class SetAbstraction(nn.Module):
     mlp_layers: Sequence[int]
     max_neighbors: int = 64
     activation: Activation = nn.tanh
+    k_chunks: int = 1
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, pos, deterministic: bool = True, neighbors=None):
         """``neighbors``: optional precomputed (centroids, idx, mask) from
         ``neighbors.sa_chain_precompute`` — point clouds are static, so the
-        FPS/radius structures can be computed once per run."""
+        FPS/radius structures can be computed once per run.
+
+        ``k_chunks > 1`` aggregates the neighbor axis in chunks with a running
+        max, dividing the peak (B, C, K, F') temporary by the chunk count —
+        required for the U-Net variants' second-order graphs at reference
+        point counts (their full-K temporaries exceed HBM)."""
         if neighbors is not None:
             centroids, idx, mask = neighbors
             pos_c = _gather_points(pos, centroids)
@@ -61,13 +68,26 @@ class SetAbstraction(nn.Module):
             centroids = batched_fps(pos, n_centroids, 0)       # (B, C)
             pos_c = _gather_points(pos, centroids)             # (B, C, D)
             idx, mask = batched_radius(pos, pos_c, self.r, self.max_neighbors)
-        neigh_x = _gather_points(x, idx)                       # (B, C, K, F)
-        neigh_pos = _gather_points(pos, idx)                   # (B, C, K, D)
-        rel = (neigh_pos - pos_c[..., None, :]) / self.r
-        msg = jnp.concatenate([neigh_x, rel], axis=-1)
-        h = MLP(self.mlp_layers, activation=self.activation, dtype=self.dtype,
-                name="conv_mlp")(msg, deterministic)           # (B, C, K, F')
-        out = masked_max(h, mask[..., None], axis=-2)          # (B, C, F')
+
+        mlp = MLP(self.mlp_layers, activation=self.activation,
+                  dtype=self.dtype, name="conv_mlp")
+        k = idx.shape[-1]
+        chunks = self.k_chunks if (self.k_chunks > 1
+                                   and k % self.k_chunks == 0) else 1
+        step = k // chunks
+        neg = jnp.finfo(jnp.float32).min
+        out = None
+        for c in range(chunks):
+            sl = slice(c * step, (c + 1) * step)
+            neigh_x = _gather_points(x, idx[..., sl])          # (B, C, k', F)
+            neigh_pos = _gather_points(pos, idx[..., sl])
+            rel = (neigh_pos - pos_c[..., None, :]) / self.r
+            msg = jnp.concatenate([neigh_x, rel], axis=-1)
+            h = mlp(msg, deterministic)                        # (B, C, k', F')
+            m = jnp.max(jnp.where(mask[..., sl, None], h, neg), axis=-2)
+            out = m if out is None else jnp.maximum(out, m)
+        any_valid = jnp.any(mask, axis=-1)[..., None]
+        out = jnp.where(any_valid, out, 0.0)                   # (B, C, F')
         return out, pos_c
 
 
@@ -98,6 +118,7 @@ class SetAbstractionSeq(nn.Module):
     return_skip: bool = True
     activation: Activation = nn.tanh
     max_neighbors: int = 64
+    k_chunks: int = 1
     dtype: Any = None
 
     @nn.compact
@@ -106,7 +127,8 @@ class SetAbstractionSeq(nn.Module):
         for i, (f, r, layers) in enumerate(
                 zip(self.fraction, self.radius, self.conv_mlp)):
             x, pos = SetAbstraction(f, r, layers, self.max_neighbors,
-                                    self.activation, dtype=self.dtype,
+                                    self.activation, self.k_chunks,
+                                    dtype=self.dtype,
                                     name=f"sa_{i}")(
                 x, pos, deterministic,
                 neighbors[i] if neighbors is not None else None)
@@ -162,8 +184,12 @@ class FeaturePropagation(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, pos, x_skip, pos_skip, deterministic: bool = True):
-        x_up = batched_knn_interpolate(x, pos, pos_skip, self.k)
+    def __call__(self, x, pos, x_skip, pos_skip, deterministic: bool = True,
+                 knn_idx=None):
+        if knn_idx is not None:
+            x_up = batched_knn_interpolate_with_idx(x, pos, pos_skip, knn_idx)
+        else:
+            x_up = batched_knn_interpolate(x, pos, pos_skip, self.k)
         if x_skip is not None:
             x_up = jnp.concatenate([x_up, x_skip], axis=-1)
         y = MLP(self.mlp_layers, self.dropout, self.activation,
@@ -190,14 +216,16 @@ class FeaturePropagationSeq(nn.Module):
         return list(d)
 
     @nn.compact
-    def __call__(self, x, pos, skips, deterministic: bool = True):
+    def __call__(self, x, pos, skips, deterministic: bool = True,
+                 knn_idx=None):
         for i, (layers, k) in enumerate(zip(self.fp_layers, self.k)):
             x_skip, pos_skip = skips[-(i + 1)]
             is_last = i == len(self.fp_layers) - 1
             x, pos = FeaturePropagation(
                 k, layers, self._dropout(i), plain_last=is_last,
                 activation=self.activation, dtype=self.dtype,
-                name=f"fp_{i}")(x, pos, x_skip, pos_skip, deterministic)
+                name=f"fp_{i}")(x, pos, x_skip, pos_skip, deterministic,
+                                knn_idx[i] if knn_idx is not None else None)
         return x, pos
 
 
@@ -213,8 +241,11 @@ class FeaturePropagationNeuralOperator(nn.Module):
 
     @nn.compact
     def __call__(self, par_embedding, x, pos, x_skip, pos_skip,
-                 deterministic: bool = True):
-        x_up = batched_knn_interpolate(x, pos, pos_skip, self.k)
+                 deterministic: bool = True, knn_idx=None):
+        if knn_idx is not None:
+            x_up = batched_knn_interpolate_with_idx(x, pos, pos_skip, knn_idx)
+        else:
+            x_up = batched_knn_interpolate(x, pos, pos_skip, self.k)
         if x_skip is not None:
             x_up = jnp.concatenate([x_up, x_skip], axis=-1)
         y = MLP(self.mlp_layers, self.dropout, self.activation,
@@ -243,7 +274,8 @@ class FeaturePropagationNeuralOperatorSeq(nn.Module):
         return list(d)
 
     @nn.compact
-    def __call__(self, par_embedding, x, pos, skips, deterministic: bool = True):
+    def __call__(self, par_embedding, x, pos, skips, deterministic: bool = True,
+                 knn_idx=None):
         for i, (layers, k) in enumerate(zip(self.fp_layers, self.k)):
             x_skip, pos_skip = skips[-(i + 1)]
             is_last = i == len(self.fp_layers) - 1
@@ -251,7 +283,8 @@ class FeaturePropagationNeuralOperatorSeq(nn.Module):
                 k, layers, self._dropout(i), plain_last=is_last,
                 activation=self.activation, dtype=self.dtype,
                 name=f"fpno_{i}")(par_embedding, x, pos, x_skip, pos_skip,
-                                  deterministic)
+                                  deterministic,
+                                  knn_idx[i] if knn_idx is not None else None)
         return x, pos
 
 

@@ -103,6 +103,8 @@ def compute_losses(model: PinnModel, params, batch: FoamData, rng,
             all_pts = jnp.concatenate([pts, boundary_pts], axis=-2)
             return _forward(model, params, all_pts, batch, rng, deterministic)
 
+        if model.remat:
+            apply_fn = jax.checkpoint(apply_fn)
         out, jac, lap = pinn_derivatives(apply_fn, internal["C"])
     predicted = FoamData(out, model.predicted_labels, batch.domain)
     pred_internal = FoamData(out[..., :n_int, :], model.predicted_labels,
@@ -178,11 +180,48 @@ def make_train_functions(model: PinnModel,
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+    def _accumulated_grads(state, batch, rng):
+        """Micro-batch gradient accumulation: scan over case groups so only
+        one micro-batch's (second-order) graph is live at a time — the memory
+        profile of the torch reference's sequential autograd replays. Scaler
+        weights are applied per micro-batch (exact for fixed weights)."""
+        b = batch.data.shape[0]
+        # largest micro-batch size <= model.microbatch that divides B exactly
+        # (never drop cases; B=13 with microbatch=2 degrades to 1)
+        m = next(m for m in range(min(model.microbatch, b), 0, -1)
+                 if b % m == 0)
+        groups = b // m
+        leaves = (batch.data, tuple(batch.domain.values()))
+        keys = tuple(batch.domain.keys())
+        grouped = jax.tree_util.tree_map(
+            lambda x: x[:groups * m].reshape(groups, m, *x.shape[1:]), leaves)
+
+        def body(carry, mb_leaves):
+            g_acc, m_acc, sc_state, i = carry
+            data, dom_vals = mb_leaves
+            mb = FoamData(data, batch.labels, dict(zip(keys, dom_vals)))
+            (_, (metrics, sc_state)), grads = grad_fn(
+                state.params, mb, jax.random.fold_in(rng, i), state.step,
+                sc_state)
+            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+            return (g_acc, m_acc + metrics, sc_state, i + 1), None
+
+        zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        zero_m = jnp.zeros((1 + model.num_losses + 1 + model.dims,),
+                           jnp.float32)
+        (grads, metrics, scaler_state, _), _ = jax.lax.scan(
+            body, (zero_g, zero_m, state.scaler_state, 0), grouped)
+        grads = jax.tree_util.tree_map(lambda g: g / groups, grads)
+        return grads, metrics / groups, scaler_state
+
     def train_step(state: TrainState, batch: FoamData):
         batch = shard_batch(batch, mesh, shard_points)
         rng = jax.random.fold_in(state.rng, state.step)
-        (_, (metrics, scaler_state)), grads = grad_fn(
-            state.params, batch, rng, state.step, state.scaler_state)
+        if model.microbatch and model.microbatch < batch.data.shape[0]:
+            grads, metrics, scaler_state = _accumulated_grads(state, batch, rng)
+        else:
+            (_, (metrics, scaler_state)), grads = grad_fn(
+                state.params, batch, rng, state.step, state.scaler_state)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, params, opt_state, state.rng,
@@ -221,6 +260,8 @@ def make_train_functions(model: PinnModel,
                 return _forward(model, params, all_pts, batch,
                                 deterministic=True)
 
+            if model.remat:
+                apply_fn = jax.checkpoint(apply_fn)
             out, jac, lap = pinn_derivatives(apply_fn, internal["C"])
         predicted = FoamData(out, model.predicted_labels, batch.domain)
         u_jac, u_lap, p_grad = split_derivatives(jac, lap, model.dims)

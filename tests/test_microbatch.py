@@ -1,0 +1,56 @@
+"""Gradient accumulation (microbatch) equivalence: with fixed loss weights and
+no dropout, accumulated micro-batch gradients of per-batch-mean losses must
+closely match the full-batch step (means of equal-sized group means)."""
+import dataclasses
+
+import jax
+import numpy as np
+
+from porous_cfd_tpu.data.synthetic import make_foam_batch, make_scalers
+from porous_cfd_tpu.models.pipn import pipn_foam
+from porous_cfd_tpu.train.engine import make_optimizer, make_train_functions
+
+
+def test_microbatch_matches_full_batch():
+    batch = make_foam_batch(4, 24, 16, 8, seed=20)
+    base = pipn_foam(1489.4e-6, 14000.0, 17.11,
+                     [2, 16, 16], [16 + 5, 16, 24], [40, 16, 3],
+                     scalers=make_scalers())  # no dropout
+    micro = dataclasses.replace(base, microbatch=2)
+
+    tx = make_optimizer(base, 1)
+    fns_full = make_train_functions(base, tx)
+    fns_micro = make_train_functions(micro, tx)
+
+    s_full = fns_full.init_state(batch, seed=1)
+    s_micro = fns_micro.init_state(batch, seed=1)
+    s_full, m_full = fns_full.train_step(s_full, batch)
+    s_micro, m_micro = fns_micro.train_step(s_micro, batch)
+
+    # metrics: mean of group means == full-batch mean for equal-sized groups
+    np.testing.assert_allclose(np.asarray(m_micro), np.asarray(m_full),
+                               rtol=5e-3, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_full.params),
+                    jax.tree_util.tree_leaves(s_micro.params)):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-5)
+
+
+def test_microbatch_never_drops_cases():
+    """B=3 with microbatch=2 must degrade to micro=1, not drop a case."""
+    batch = make_foam_batch(3, 24, 16, 8, seed=21)
+    model = dataclasses.replace(
+        pipn_foam(1489.4e-6, 14000.0, 17.11,
+                  [2, 16, 16], [16 + 5, 16, 24], [40, 16, 3],
+                  scalers=make_scalers()),
+        microbatch=2)
+    tx = make_optimizer(model, 1)
+    fns = make_train_functions(model, tx)
+    state = fns.init_state(batch)
+    state, m = fns.train_step(state, batch)
+    assert np.isfinite(float(m[0]))
+    # equivalence with the non-microbatched step (all 3 cases contribute)
+    fns_full = make_train_functions(dataclasses.replace(model, microbatch=None), tx)
+    s2 = fns_full.init_state(batch)
+    _, m2 = fns_full.train_step(s2, batch)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m2), rtol=5e-3,
+                               atol=1e-5)
