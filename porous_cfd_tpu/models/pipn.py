@@ -120,10 +120,12 @@ class PipnPpMrgModule(nn.Module):
                     dtype=self.dtype, name="local_fe")(points, deterministic)
         boundary = batch["boundary"]
         geom = jnp.concatenate([boundary["boundaryId"], boundary["C"]], axis=-1)
+        from porous_cfd_tpu.models.neighbors import extract_sa_neighbors
+        nbrs = extract_sa_neighbors(batch.domain, 2)
         g = SetAbstractionMrgSeq(
             self.mrg_in_features, self.n_dims, self.activation,
             self.max_neighbors, dtype=self.dtype, name="global_fe")(
-            geom, boundary["C"], deterministic)
+            geom, boundary["C"], deterministic, nbrs)
         exp_g = jnp.broadcast_to(g, (*local.shape[:-1], g.shape[-1]))
         seg_in = jnp.concatenate([local, exp_g], axis=-1)
         return MLP(self.seg_layers, self.seg_dropout, self.activation,
@@ -272,8 +274,10 @@ def pipn_pp_apply_with_derivatives(module):
         if is_mrg:
             geom_in = jnp.concatenate([boundary["boundaryId"], boundary["C"]],
                                       axis=-1)
+            from porous_cfd_tpu.models.neighbors import extract_sa_neighbors
+            nbrs = extract_sa_neighbors(batch.domain, 2)
             g = geom_seq.apply({"params": get_sub(params, geom_params_key)},
-                               geom_in, x_bnd, deterministic)
+                               geom_in, x_bnd, deterministic, nbrs)
         else:
             if module.geom_features_order == "C_first":
                 geom_in = jnp.concatenate([boundary["C"],
@@ -437,13 +441,20 @@ def pipn_foam_pp_mrg(n_dims: int, mrg_in_features: int,
                      seg_dropout=None, activation: Activation = nn.silu,
                      max_neighbors: int = 64, dtype: Any = None,
                      fast_derivatives: bool = True) -> PinnModel:
-    """PIPN++ MRG (pipn_foam.py:169-226). Fast path exact (see pipn_foam_pp)."""
+    """PIPN++ MRG (pipn_foam.py:169-226). Fast path exact (see pipn_foam_pp).
+    The MRG grouping chain over the (static) boundary cloud is precomputed per
+    run: one 2-level (0.5, 0.5)/(0.125, 1.0) chain covers branch 1 and —
+    because FPS is deterministic — branch 2's identical (0.5, 0.5) level."""
     module = PipnPpMrgModule(n_dims, mrg_in_features, fe_local_layers,
                              seg_layers, seg_dropout, activation,
                              max_neighbors, dtype=dtype)
+    from porous_cfd_tpu.models.set_abstraction import SetAbstractionMrgSeq
     return _foam_model(module, seg_layers[-1] - 1, nu, d, f, scalers,
                        pipn_pp_apply_with_derivatives(module)
-                       if fast_derivatives else None)
+                       if fast_derivatives else None,
+                       _boundary_sa_precompute(SetAbstractionMrgSeq.fractions,
+                                               SetAbstractionMrgSeq.radii,
+                                               max_neighbors))
 
 
 def _all_points_unet_precompute(fractions, radii, max_neighbors, dec_k,

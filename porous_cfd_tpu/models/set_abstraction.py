@@ -144,24 +144,38 @@ class SetAbstractionSeq(nn.Module):
 class SetAbstractionMrgSeq(nn.Module):
     """Multi-resolution-grouping encoder: four branches whose global
     descriptors are concatenated (modules.py:426-480). Layer sizes follow the
-    reference/paper exactly."""
+    reference/paper exactly.
+
+    ``neighbors``: optional 2-level precomputed SA chain over ``pos`` with
+    (fraction, radius) = (0.5, 0.5), (0.125, 1.0). Branch 2's grouping
+    (0.5, 0.5) is bit-identical to branch 1's first level (FPS start is
+    deterministic), so one chain serves all three radius-SA layers.
+    """
     in_features: int
     n_dims: int
     activation: Activation = nn.tanh
     max_neighbors: int = 64
     dtype: Any = None
 
+    # the 2-level chain shared by branch1 (both levels) and branch2 (level 0)
+    fractions = (0.5, 0.125)
+    radii = (0.5, 1.0)
+
     @nn.compact
-    def __call__(self, x, pos, deterministic: bool = True):
+    def __call__(self, x, pos, deterministic: bool = True, neighbors=None):
         kw = dict(max_neighbors=self.max_neighbors, activation=self.activation,
                   dtype=self.dtype)
+        nb0, nb1 = neighbors if neighbors is not None else (None, None)
         d = self.n_dims
         x1, p1 = SetAbstraction(0.5, 0.5, [self.in_features + d, 64, 128],
-                                name="branch1_sa0", **kw)(x, pos, deterministic)
+                                name="branch1_sa0", **kw)(x, pos, deterministic,
+                                                          nb0)
         x1, p1 = SetAbstraction(0.125, 1.0, [128 + d, 256],
-                                name="branch1_sa1", **kw)(x1, p1, deterministic)
+                                name="branch1_sa1", **kw)(x1, p1, deterministic,
+                                                          nb1)
         x2, p2 = SetAbstraction(0.5, 0.5, [self.in_features + d, 64, 128, 256],
-                                name="branch2_sa", **kw)(x, pos, deterministic)
+                                name="branch2_sa", **kw)(x, pos, deterministic,
+                                                         nb0)
         x3, _ = GlobalSetAbstraction([self.in_features + d, 128, 256, 512],
                                      self.activation, dtype=self.dtype,
                                      name="branch3_gsa")(x, pos, deterministic)

@@ -81,3 +81,51 @@ def test_pi_gano_pp_full_cache():
     y_b = model.module.apply({"params": params}, pts, cached,
                              deterministic=True)
     np.testing.assert_array_equal(np.asarray(y_a), np.asarray(y_b))
+
+
+def test_mrg_cache_bit_identical():
+    """MRG grouping cache: one 2-level boundary chain serves branch1 (both
+    levels) and branch2 (same deterministic (0.5, 0.5) grouping as level 0);
+    outputs must be bit-identical and both derivative paths unchanged."""
+    batch = make_foam_batch(2, 32, 16, 8, seed=15)
+    model = pipn.pipn_foam_pp_mrg(
+        n_dims=2, mrg_in_features=4 + 2,
+        nu=1489.4e-6, d=14000.0, f=17.11,
+        fe_local_layers=[2, 16, 16],
+        seg_layers=[1024 + 16, 16, 3],
+        scalers=make_scalers())
+    assert model.neighbor_precompute is not None
+    cached = model.attach_neighbors(batch)
+    assert "sa_idx_1" in cached.domain and "fp_idx_0" not in cached.domain
+
+    pts = jnp.concatenate([batch["internal"]["C"], batch["boundary"]["C"]], -2)
+    params = model.module.init({"params": jax.random.PRNGKey(0)}, pts, batch,
+                               deterministic=True)["params"]
+    y_a = model.module.apply({"params": params}, pts, batch,
+                             deterministic=True)
+    y_b = model.module.apply({"params": params}, pts, cached,
+                             deterministic=True)
+    np.testing.assert_array_equal(np.asarray(y_a), np.asarray(y_b))
+    # analytic fast path sees the cache too
+    o_a, j_a, l_a = model.derivative_apply(params, batch)
+    o_b, j_b, l_b = model.derivative_apply(params, cached)
+    np.testing.assert_array_equal(np.asarray(o_a), np.asarray(o_b))
+    np.testing.assert_array_equal(np.asarray(j_a), np.asarray(j_b))
+    np.testing.assert_array_equal(np.asarray(l_a), np.asarray(l_b))
+
+
+def test_mrg_cache_training_step():
+    batch = make_foam_batch(2, 32, 16, 8, seed=16)
+    model = pipn.pipn_foam_pp_mrg(
+        n_dims=2, mrg_in_features=4 + 2,
+        nu=1489.4e-6, d=14000.0, f=17.11,
+        fe_local_layers=[2, 16, 16],
+        seg_layers=[1024 + 16, 16, 3],
+        scalers=make_scalers())
+    cached = model.attach_neighbors(batch)
+    tx = make_optimizer(model, 1)
+    fns = make_train_functions(model, tx)
+    state = fns.init_state(cached)
+    for _ in range(3):
+        state, m = fns.train_step(state, cached)
+    assert np.isfinite(float(m[0]))
