@@ -412,7 +412,9 @@ def pipn_manufactured_pp(nu: float, d: float, f: float,
         enable_data_loss=False,
         learning_rate=1e-3, lr_gamma=0.9995, adam_eps=1e-6,
         derivative_apply=(pipn_pp_apply_with_derivatives(module)
-                          if fast_derivatives else None))
+                          if fast_derivatives else None),
+        neighbor_precompute=_boundary_sa_precompute(
+            fe_global_fraction, fe_global_radius, max_neighbors))
 
 
 def pipn_foam_pp(nu: float, d: float, f: float,
