@@ -1,4 +1,14 @@
 #!/bin/bash
+# SLURM resource headers (honored when submitted with sbatch, inert when run
+# directly). TPU counterpart of the reference's sbatch.sh:1-12 GPU request:
+# one TPU-VM host driving its attached chips, CPU workers for datagen/IO.
+#SBATCH --partition=tpu
+#SBATCH --ntasks-per-node=1
+#SBATCH --cpus-per-task=8
+#SBATCH --mem=32G
+#SBATCH --time=20:00:00
+#SBATCH --output=job_logs/out_%x_%j.log
+#
 # Staged experiment launcher — TPU-VM equivalent of the reference's
 # SLURM/Singularity sbatch.sh: runs any combination of the
 # generate_data / train / inference / evaluate / compare stages for one

@@ -72,11 +72,12 @@ class DataGeneratorBase:
 
     # -- file editing helpers ----------------------------------------------
     def clean_dir(self, directory):
-        for root, dirs, files in os.walk(directory):
-            for f in files:
-                os.remove(os.path.join(root, f))
-            for d in dirs:
-                shutil.rmtree(os.path.join(root, d))
+        """Empty ``directory`` without removing the directory itself."""
+        for entry in Path(directory).iterdir():
+            if entry.is_dir() and not entry.is_symlink():
+                shutil.rmtree(entry)
+            else:
+                entry.unlink()
 
     def write_locations_in_mesh(self, case_path: str, loc) -> None:
         """Set locationInMesh / insidePoint in snappyHexMeshDict

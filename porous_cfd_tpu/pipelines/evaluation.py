@@ -19,6 +19,7 @@ from porous_cfd_tpu.data.dataset import FoamDataset
 from porous_cfd_tpu.data.foam_data import FoamData
 from porous_cfd_tpu.models.base import PinnModel
 from porous_cfd_tpu.pipelines.inference import default_checkpoint
+from porous_cfd_tpu.utils import profiling
 from porous_cfd_tpu.train.engine import (gather_cases, make_optimizer,
                                          make_train_functions)
 from porous_cfd_tpu.viz.common import (box_plot, plot_data_dist, plot_errors,
@@ -242,7 +243,9 @@ def evaluate(args: Namespace, model: PinnModel, params, data: FoamDataset,
     start = time.perf_counter()
     predictions = [fns.predict_batch(params, gather_cases(stacked, idx), True)
                    for idx in batches]
-    jax.block_until_ready(predictions)
+    # device->host sync: block_until_ready returns early on tunneled backends
+    # (axon), which would turn this timing into a dispatch rate (BASELINE.md).
+    profiling.sync(predictions)
     inference_time = time.perf_counter() - start
     avg_inference_time = inference_time / n
 

@@ -167,51 +167,63 @@ def make_train_functions(model: PinnModel,
                          shard_points: bool = False) -> TrainFunctions:
     loss_scaler = loss_scaler or LossScaler()
 
-    def loss_fn(params, batch, rng, step, scaler_state):
+    def loss_fn(params, batch, rng, scaler_rng, step, scaler_state):
         losses, predicted = compute_losses(model, params, batch, rng,
                                            deterministic=False)
-        weights, new_scaler_state = loss_scaler(
-            scaler_state, jax.lax.stop_gradient(losses), step, jax.random.fold_in(rng, 1))
+        raw = jax.lax.stop_gradient(losses)
+        weights, new_scaler_state = loss_scaler(scaler_state, raw, step,
+                                                scaler_rng)
         total = jnp.sum(weights * losses)
         u_err, p_err = compute_errors(model, predicted, batch)
-        scaled = weights * losses
+        scaled = weights * raw
         metrics = jnp.concatenate([total[None], scaled, p_err[None], u_err])
-        return total, (metrics, new_scaler_state)
+        return total, (metrics, new_scaler_state, raw)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def _accumulated_grads(state, batch, rng):
         """Micro-batch gradient accumulation: scan over case groups so only
         one micro-batch's (second-order) graph is live at a time — the memory
-        profile of the torch reference's sequential autograd replays. Scaler
-        weights are applied per micro-batch (exact for fixed weights)."""
+        profile of the torch reference's sequential autograd replays.
+
+        Loss-scaler semantics match the single-batch path: every micro-batch
+        computes its weights from the FROZEN step-start scaler state (one
+        shared scaler rng, so ReLoBRaLo's Bernoulli draw is identical across
+        micro-batches), and the state advances ONCE per optimizer step using
+        the micro-mean raw losses — the same cadence as an unaccumulated
+        batch (per-component losses are case means, so the micro-mean equals
+        the full-batch loss vector for equal groups)."""
         b = batch.data.shape[0]
         # largest micro-batch size <= model.microbatch that divides B exactly
         # (never drop cases; B=13 with microbatch=2 degrades to 1)
         m = next(m for m in range(min(model.microbatch, b), 0, -1)
                  if b % m == 0)
         groups = b // m
+        scaler_rng = jax.random.fold_in(rng, 1)
         leaves = (batch.data, tuple(batch.domain.values()))
         keys = tuple(batch.domain.keys())
         grouped = jax.tree_util.tree_map(
             lambda x: x[:groups * m].reshape(groups, m, *x.shape[1:]), leaves)
 
         def body(carry, mb_leaves):
-            g_acc, m_acc, sc_state, i = carry
+            g_acc, m_acc, l_acc, i = carry
             data, dom_vals = mb_leaves
             mb = FoamData(data, batch.labels, dict(zip(keys, dom_vals)))
-            (_, (metrics, sc_state)), grads = grad_fn(
-                state.params, mb, jax.random.fold_in(rng, i), state.step,
-                sc_state)
+            (_, (metrics, _, raw)), grads = grad_fn(
+                state.params, mb, jax.random.fold_in(rng, i), scaler_rng,
+                state.step, state.scaler_state)
             g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
-            return (g_acc, m_acc + metrics, sc_state, i + 1), None
+            return (g_acc, m_acc + metrics, l_acc + raw, i + 1), None
 
         zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
         zero_m = jnp.zeros((1 + model.num_losses + 1 + model.dims,),
                            jnp.float32)
-        (grads, metrics, scaler_state, _), _ = jax.lax.scan(
-            body, (zero_g, zero_m, state.scaler_state, 0), grouped)
+        zero_l = jnp.zeros((model.num_losses,), jnp.float32)
+        (grads, metrics, raw_sum, _), _ = jax.lax.scan(
+            body, (zero_g, zero_m, zero_l, 0), grouped)
         grads = jax.tree_util.tree_map(lambda g: g / groups, grads)
+        _, scaler_state = loss_scaler(state.scaler_state, raw_sum / groups,
+                                      state.step, scaler_rng)
         return grads, metrics / groups, scaler_state
 
     def train_step(state: TrainState, batch: FoamData):
@@ -220,8 +232,9 @@ def make_train_functions(model: PinnModel,
         if model.microbatch and model.microbatch < batch.data.shape[0]:
             grads, metrics, scaler_state = _accumulated_grads(state, batch, rng)
         else:
-            (_, (metrics, scaler_state)), grads = grad_fn(
-                state.params, batch, rng, state.step, state.scaler_state)
+            (_, (metrics, scaler_state, _)), grads = grad_fn(
+                state.params, batch, rng, jax.random.fold_in(rng, 1),
+                state.step, state.scaler_state)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, params, opt_state, state.rng,

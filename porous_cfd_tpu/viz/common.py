@@ -4,7 +4,6 @@ reimplemented on this framework's numpy parsers)."""
 from __future__ import annotations
 
 import glob
-from functools import partial
 from pathlib import Path
 
 import matplotlib
@@ -82,14 +81,19 @@ def plot_dataset_dist(path, save_path=None):
              get_fields_names(np.zeros(u.shape[-1] + 1)), save_path)
 
 
-def plot_barh(ax, title, values, labels, colors, spacing=0.01, offset=0.0):
-    ax.set_title(title, pad=10)
-    ax.set_xlim(right=max(values) * 1.3)
-    w = 0.01
-    x = np.arange(0, spacing * len(values), step=w)[:len(values)]
-    rects = ax.barh(x + offset, values, w, color=colors, label=labels)
-    ax.bar_label(rects, fmt="%.2e", padding=10)
+BAR_W = 0.01  # thin bars; value readability comes from the printed labels
+
+
+def plot_barh(ax, title, values, labels, colors, spacing=BAR_W, offset=0.0):
+    """A row of labeled horizontal bars (scientific-notation annotations,
+    hidden y axis, two-column legend). Output contract of common.py:108-126."""
+    rows = offset + spacing * np.arange(len(values))
+    bars = ax.barh(rows, values, BAR_W, label=labels, color=colors)
+    ax.bar_label(bars, fmt="%.2e", padding=10)
+    # leave ~30% headroom so the annotations fit inside the axes
+    ax.set_xlim(right=1.3 * max(values))
     ax.set_yticks([])
+    ax.set_title(title, pad=10)
     ax.legend(ncols=2)
 
 
@@ -137,27 +141,34 @@ def plot_multi_bar(title, values: dict, values_labels, save_path=None):
     plot_or_save(fig, save_path)
 
 
+def annotate_stats(ax, samples):
+    """Small mean/std box in the upper-right corner of ``ax``."""
+    text = (f"Mean: {np.mean(samples):.2f}\n"
+            f"Std: {np.std(samples, ddof=1):.2f}")
+    ax.annotate(text, xy=(0.985, 0.94), xycoords="axes fraction",
+                ha="right", va="top", fontsize=8,
+                bbox={"boxstyle": "round", "facecolor": "white",
+                      "alpha": 0.5})
+
+
 def plot_u_direction_change(data_dir, save_path=None):
-    """Dataset-difficulty plot from the mag(grad(Unorm)) field
-    (common.py:195-224)."""
-    means = []
-    for c in sorted(glob.glob(f"{data_dir}/*/")):
-        data = parser.parse_internal_fields(c, "mag(grad(Unorm))")
-        means.append(float(np.mean(data["mag(grad(Unorm))"])))
+    """Dataset-difficulty figure: per-case bar chart + histogram (with a
+    mean/std box) of the case-average mag(grad(Unorm)) field. Same artifact
+    as common.py:195-224, assembled from this repo's numpy parser."""
+    cases = sorted(glob.glob(f"{data_dir}/*/"))
+    means = [float(np.mean(
+        parser.parse_internal_fields(c, "mag(grad(Unorm))")["mag(grad(Unorm))"]
+    )) for c in cases]
+
     fig = plt.figure(layout="constrained")
-    ax1, ax2 = fig.subplots(2, 1).flatten()
-    ax1.bar(np.arange(len(means)), means, color="lightblue")
-    ax1.set_title("Average U direction change per case")
-    ax1.set_xticks([])
-    ax1.set_ylabel("U direction change")
-    plot_histogram(ax2, means, "salmon",
+    per_case, hist = fig.subplots(2, 1)
+    per_case.bar(range(len(means)), means, color="lightblue")
+    per_case.set(xticks=[], ylabel="U direction change")
+    per_case.set_title("Average U direction change per case", pad=10)
+    plot_histogram(hist, means, "salmon",
                    "Average U direction change distribution", 20)
-    ax2.text(0.985, 0.94,
-             f"Mean: {np.mean(means):.2f}\nStd: {np.std(means, ddof=1):.2f}",
-             transform=ax2.transAxes, fontsize=8, va="top", ha="right",
-             bbox=dict(boxstyle="round", facecolor="white", alpha=0.5))
-    ax2.set_xlabel("U direction change")
-    ax2.set_ylabel("Frequency")
+    annotate_stats(hist, means)
+    hist.set(xlabel="U direction change", ylabel="Frequency")
     plot_or_save(fig, save_path)
 
 
@@ -202,26 +213,38 @@ def get_heatmap(mae, x, y):
     return hm, x_unique, y_unique
 
 
-def plot_heatmap(ax, matrix, x, y, labels):
-    def tick_fmt(i, pos, l):
-        v = l[int(i)] if int(i) < len(l) else 0
-        if np.issubdtype(np.asarray(l).dtype, np.integer):
-            return f"{int(v):d}"
-        return f"{v:.2e}" if v < 1e-3 else f"{v:.3f}"
+def _axis_value_fmt(ticks: np.ndarray):
+    """Tick formatter for numeric axis values: ints plain, tiny floats in
+    scientific notation, the rest with 3 decimals."""
+    ticks = np.asarray(ticks)
+    integral = np.issubdtype(ticks.dtype, np.integer)
 
+    def fmt(pos, _=None):
+        i = int(pos)
+        if not 0 <= i < len(ticks):
+            return ""
+        if integral:
+            return str(int(ticks[i]))
+        return f"{ticks[i]:.2e}" if ticks[i] < 1e-3 else f"{ticks[i]:.3f}"
+
+    return fmt
+
+
+def plot_heatmap(ax, matrix, x, y, labels):
+    """Annotated value heatmap over a (y, x) grid; NaN holes (negative
+    sentinels) are left unannotated. Output contract of common.py:336-367."""
+    ax.imshow(matrix, cmap="Wistia")
+    for (i, j), value in np.ndenumerate(matrix):
+        if value >= 0:
+            ax.annotate(f"{value:.2e}", xy=(j, i), ha="center", va="center",
+                        color="black")
     ax.set_xticks(range(len(x)), labels=x, rotation=45, ha="right",
                   rotation_mode="anchor")
     ax.set_yticks(range(len(y)), labels=y)
-    ax.xaxis.set_major_formatter(partial(tick_fmt, l=x))
-    ax.yaxis.set_major_formatter(partial(tick_fmt, l=y))
-    ax.imshow(matrix, cmap="Wistia")
+    ax.xaxis.set_major_formatter(_axis_value_fmt(x))
+    ax.yaxis.set_major_formatter(_axis_value_fmt(y))
     ax.set_xlabel(labels[0])
     ax.set_ylabel(labels[1])
-    for i in range(len(y)):
-        for j in range(len(x)):
-            if matrix[i][j] >= 0:
-                ax.text(j, i, f"{matrix[i][j]:.2e}", ha="center", va="center",
-                        color="black")
 
 
 def plot_errors_vs_multi_vars(title, errors, x, y, labels, save_path=None):
@@ -241,18 +264,17 @@ def plot_errors_vs_multi_vars(title, errors, x, y, labels, save_path=None):
 
 
 def plot_per_case(title, values, save_path=None):
-    """Per-case bars for each field (common.py:370-388)."""
-    values = np.asarray(values)
+    """One bar-per-case subplot per field column of a (C, D) value table
+    (output contract of common.py:370-388)."""
+    values = np.atleast_2d(np.asarray(values))
     fig = plt.figure(layout="constrained")
     fig.suptitle(title)
-    axs = np.atleast_1d(fig.subplots(values.shape[-1], 1)).flatten()
-    cmap = plt.get_cmap("Set2")
-    labels = get_fields_names(values)
-    for i, (ax, f, fname) in enumerate(
-            zip(axs, np.hsplit(values, values.shape[-1]), labels)):
-        if f.min() < 0:
+    axs = np.ravel(fig.subplots(values.shape[-1], 1))
+    palette = plt.get_cmap("Set2")
+    for i, (ax, column) in enumerate(zip(axs, values.T)):
+        ax.bar(range(len(column)), column, color=palette(i))
+        if column.min() < 0:  # mark the sign flip for signed metrics
             ax.axhline(0, 0, 1, linestyle="--", color="black")
-        ax.bar(np.arange(len(f)), f.flatten(), color=cmap(i))
         ax.set_xticks([])
-        ax.set_ylabel(f"{fname} MAE")
+        ax.set_ylabel(f"{get_fields_names(values)[i]} MAE")
     plot_or_save(fig, save_path)

@@ -123,3 +123,15 @@ def test_compare_pipeline(trained):
     comp_dir = (ckpt.parent.parent / "comparisons" / "Pipn a vs Pipn b" / "test")
     assert (comp_dir / "Test.csv").exists()
     assert (comp_dir / "Shapiro.csv").exists()
+
+
+def test_evaluation_timing_uses_trusted_sync():
+    """Timing must sync via a device->host transfer (utils.profiling.sync);
+    jax.block_until_ready returns early on tunneled backends (BASELINE.md)."""
+    import inspect
+
+    from porous_cfd_tpu.pipelines import evaluation
+
+    src = inspect.getsource(evaluation)
+    assert "jax.block_until_ready(" not in src
+    assert "profiling.sync" in src
