@@ -99,6 +99,27 @@ class PinnModel:
     microbatch: Optional[int] = None  # gradient-accumulation micro-batch rows:
     # bound the live second-order graph to `microbatch` cases at a time (the
     # torch reference's sequential autograd replays have the same effect)
+    eval_dtype: Optional[Any] = None  # compute dtype for FORWARD-ONLY paths
+    # (validation / non-verbose inference); training + derivative graphs stay
+    # f32 — axon miscompiles the fused second-order bf16 graph (BASELINE.md)
+
+    def with_precision(self, precision: str) -> "PinnModel":
+        """Honor the Lightning-style ``--precision`` flag
+        (common/training.py:30-31) on the safe surfaces: ``bf16*`` makes the
+        forward-only eval/inference matmuls run in bfloat16 compute with f32
+        params; anything else is full f32. Derivative graphs are always f32."""
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16 if str(precision).startswith("bf16") else None
+        return dataclasses.replace(self, eval_dtype=dtype)
+
+    @property
+    def eval_module(self) -> nn.Module:
+        """The forward module with ``eval_dtype`` compute precision applied
+        (all module classes thread ``dtype`` down their Dense stacks)."""
+        if self.eval_dtype is None:
+            return self.module
+        return self.module.clone(dtype=self.eval_dtype)
 
     def attach_neighbors(self, dataset):
         """Merge precomputed neighbor structures (FPS centroids / radius

@@ -71,6 +71,8 @@ def predict(args: Namespace, model: PinnModel, params, data: FoamDataset,
     inference.py:64-93) and invoke the plotting callback."""
     import jax
 
+    # honor --precision on this forward-only path (bf16 compute, f32 params)
+    model = model.with_precision(getattr(args, "precision", "32-true"))
     tx = make_optimizer(model, 1)
     fns = make_train_functions(model, tx)
     stacked = jax.device_put(model.attach_neighbors(data.stacked()))

@@ -11,18 +11,10 @@ import argparse
 import os
 from argparse import ArgumentParser, Namespace
 
-import jax.numpy as jnp
-
 from porous_cfd_tpu.data.dataset import FoamDataset
 from porous_cfd_tpu.models.base import PinnModel
 from porous_cfd_tpu.physics.scaling import LossScaler
 from porous_cfd_tpu.train.trainer import Trainer, TrainerConfig
-
-
-def dtype_from_precision(precision: str):
-    """'bf16-mixed' -> bfloat16 compute / float32 params (the TPU-native
-    equivalent of Lightning's bf16-mixed autocast); anything else -> float32."""
-    return jnp.bfloat16 if str(precision).startswith("bf16") else None
 
 
 def build_arg_parser() -> ArgumentParser:
@@ -61,6 +53,10 @@ def train(args: Namespace, model: PinnModel,
     (training.py:50-85)."""
     cfg = TrainerConfig(epochs=args.epochs, batch_size=args.batch_size,
                         logs_dir=args.logs_dir, name=args.name)
+    # --precision is honored on the forward-only surfaces (validation here,
+    # inference via model_meta.json); physics/derivative graphs stay f32
+    # (axon bf16 second-order miscompile, BASELINE.md).
+    model = model.with_precision(args.precision)
     trainer = Trainer(model,
                       train_data.stacked(),
                       val_data.stacked() if val_data is not None else None,

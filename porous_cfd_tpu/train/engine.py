@@ -74,10 +74,12 @@ def shard_batch(batch: FoamData, mesh=None, shard_points: bool = False) -> FoamD
     return FoamData(data, batch.labels, dom)
 
 
-def _forward(model: PinnModel, params, points, batch, rng=None, deterministic=True):
+def _forward(model: PinnModel, params, points, batch, rng=None,
+             deterministic=True, module=None):
     rngs = None if rng is None else {"dropout": rng}
-    return model.module.apply({"params": params}, points, batch,
-                              deterministic=deterministic, rngs=rngs)
+    module = model.module if module is None else module
+    return module.apply({"params": params}, points, batch,
+                        deterministic=deterministic, rngs=rngs)
 
 
 from porous_cfd_tpu.data.foam_data import split_contiguous  # noqa: E402
@@ -249,9 +251,11 @@ def make_train_functions(model: PinnModel,
 
     def eval_batch(params, batch: FoamData):
         """Validation step (model_base.py:220-226): plain forward on all points,
-        denormalized MAEs. Returns [p_error, *u_errors]."""
+        denormalized MAEs. Returns [p_error, *u_errors]. Forward-only, so the
+        mixed-precision eval module applies (errors reduced in f32)."""
         batch = shard_batch(batch, mesh, shard_points)
-        out = _forward(model, params, batch["C"], batch, deterministic=True)
+        out = _forward(model, params, batch["C"], batch, deterministic=True,
+                       module=model.eval_module).astype(jnp.float32)
         predicted = FoamData(out, model.predicted_labels, batch.domain)
         u_err, p_err = compute_errors(model, predicted, batch)
         return jnp.concatenate([p_err[None], u_err])
@@ -260,7 +264,8 @@ def make_train_functions(model: PinnModel,
         """Prediction (model_base.py:228-254). With ``verbose`` also returns the
         residual fields as a second FoamData (channels [Momentum.., div])."""
         if not verbose:
-            out = _forward(model, params, batch["C"], batch, deterministic=True)
+            out = _forward(model, params, batch["C"], batch, deterministic=True,
+                           module=model.eval_module).astype(jnp.float32)
             return FoamData(out, model.predicted_labels, batch.domain)
         internal = batch["internal"]
         if model.derivative_apply is not None:
