@@ -360,9 +360,12 @@ class Generator2DBase(DataGeneratorBase):
                 write_momentum_error(f"{case}/simpleFoam")
             self.clean_dir(f"{case}/snappyHexMesh")
             os.rmdir(f"{case}/snappyHexMesh")
-            shutil.move(f"{case}/simpleFoam", "tmp")
+            # collapse: the solved simpleFoam sub-case becomes the case root
+            # (staged next to the case, not in the CWD, so parallel runs and
+            # read-only CWDs are safe)
+            shutil.move(f"{case}/simpleFoam", f"{case}.tmp")
             os.rmdir(case)
-            shutil.move("tmp", case)
+            shutil.move(f"{case}.tmp", case)
 
 
 class Generator3DBase(DataGeneratorBase):
