@@ -3,7 +3,11 @@ PIPN workload (the reference's headline training envelope:
 batch 13, 1500/1000/700 internal/boundary/observation points, 2D,
 common/training.py:29-32 + README.md:35).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "families"}.
+``families`` adds steps/s for the other model families at the same envelope
+(PIPN exact-autodiff path, PIPN++, PI-GANO) so the headline is not the only
+recorded number (each measured over a short timed window; pass --no-families
+to skip them).
 
 Timing notes:
   * the dataset is device-resident; every epoch is one lax.scan execution;
@@ -19,6 +23,7 @@ sequential autograd graph replays + Lightning dispatch; the host-measured
 torch-CPU data point is 0.005 steps/s). vs_baseline = value / 30.
 """
 import json
+import sys
 import time
 
 import numpy as np
@@ -30,34 +35,91 @@ N_INTERNAL, N_BOUNDARY, N_OBS = 1500, 1000, 700
 N_CASES = 52  # 4 steps/epoch
 EPOCHS_TIMED = 10
 
+NU, D, F = 1489.4e-6, 14000.0, 17.11
+
+
+def make_model(family: str):
+    """Reference-envelope model zoo configs (examples/*/train.py)."""
+    from porous_cfd_tpu.data.synthetic import make_scalers
+    from porous_cfd_tpu.models.pipn import pipn_foam, pipn_foam_pp
+    from porous_cfd_tpu.physics.scaling import FixedLossScaler
+
+    scalers = make_scalers()
+    fixed_scaler = FixedLossScaler.from_dict(
+        {"continuity": [1], "momentum": [1] * 2, "boundary": [1] * 3,
+         "observations": [100] * 3})
+    n_bid = 4
+    if family in ("pipn", "pipn_exact"):
+        # duct_fixed_boundary 'pipn' config (examples/duct_fixed_boundary/train.py)
+        model = pipn_foam(
+            nu=NU, d=D, f=F,
+            fe_local_layers=[2, 64, 64],
+            fe_global_layers=[64 + 1 + n_bid, 96, 128, 1024],
+            seg_layers=[1024 + 64, 512, 256, 128, 3],
+            seg_dropout=[0.05, 0.05, 0, 0],
+            scalers=scalers,
+            fast_derivatives=(family == "pipn"))
+        return model, fixed_scaler
+    if family == "pipn_pp":
+        model = pipn_foam_pp(
+            nu=NU, d=D, f=F,
+            fe_local_layers=[2, 64, 64],
+            seg_layers=[1024 + 64, 378, 128, 3],
+            seg_dropout=[0.05, 0, 0],
+            fe_radius=[0.5, 1], fe_fraction=[0.5, 0.25],
+            fe_global_layers=[[2 + n_bid + 2, 64, 64],
+                              [64 + 2, 128, 128],
+                              [128 + 2, 256, 1024]],
+            scalers=scalers)
+        return model, fixed_scaler
+    if family == "pi_gano":
+        from porous_cfd_tpu.models.pi_gano import pi_gano
+        model = pi_gano(
+            nu=NU, out_features=3,
+            branch_layers=[8, 128, 352, 352, 352],
+            geometry_layers=[2 + n_bid + 1, 64, 176, 176, 176],
+            local_layers=[2, 64, 176, 176, 176],
+            n_operators=4, operator_dropout=[0, 0.1, 0.1, 0],
+            scalers=scalers,
+            variable_boundaries={"Subdomains": ["inlet", "internal"],
+                                 "Features": ["U-inlet", "d", "f"]},
+            fast_derivatives=True)
+        return model, fixed_scaler
+    raise KeyError(family)
+
+
+def measure_family(family: str, dataset, n_steps: int = 30) -> float:
+    """steps/s over a short timed window (one jitted train_step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from porous_cfd_tpu.train.engine import (gather_cases, make_optimizer,
+                                             make_train_functions)
+    from porous_cfd_tpu.utils.profiling import steps_per_sec
+
+    model, scaler = make_model(family)
+    dataset = jax.device_put(model.attach_neighbors(dataset))
+    batch = gather_cases(dataset, jnp.arange(BATCH))
+    tx = make_optimizer(model, N_CASES // BATCH)
+    fns = make_train_functions(model, tx, loss_scaler=scaler)
+    state = fns.init_state(batch)
+    rate, _ = steps_per_sec(fns.train_step, state, batch, n_steps=n_steps)
+    return round(rate, 1)
+
 
 def main():
     import jax
     import jax.numpy as jnp
 
     from porous_cfd_tpu.data.foam_data import FoamData
-    from porous_cfd_tpu.data.synthetic import make_foam_batch, make_scalers
-    from porous_cfd_tpu.models.pipn import pipn_foam
-    from porous_cfd_tpu.physics.scaling import FixedLossScaler
+    from porous_cfd_tpu.data.synthetic import make_foam_batch
     from porous_cfd_tpu.train.engine import make_optimizer, make_train_functions
 
     rng = np.random.default_rng(8421)
     dataset = jax.device_put(
         make_foam_batch(N_CASES, N_INTERNAL, N_BOUNDARY, N_OBS, rng=rng))
 
-    # duct_fixed_boundary 'pipn' config (examples/duct_fixed_boundary/train.py:27-37)
-    model = pipn_foam(
-        nu=1489.4e-6, d=14000.0, f=17.11,
-        fe_local_layers=[2, 64, 64],
-        fe_global_layers=[64 + 1 + 4, 96, 128, 1024],
-        seg_layers=[1024 + 64, 512, 256, 128, 3],
-        seg_dropout=[0.05, 0.05, 0, 0],
-        scalers=make_scalers(),
-        fast_derivatives=True)  # analytic J/H propagation (physics/analytic.py)
-    scaler = FixedLossScaler.from_dict(
-        {"continuity": [1], "momentum": [1] * 2, "boundary": [1] * 3,
-         "observations": [100] * 3})
-
+    model, scaler = make_model("pipn")
     steps_per_epoch = N_CASES // BATCH
     tx = make_optimizer(model, steps_per_epoch)
     fns = make_train_functions(model, tx, loss_scaler=scaler)
@@ -84,11 +146,21 @@ def main():
 
     steps_per_sec = EPOCHS_TIMED * steps_per_epoch / dt
     assert np.isfinite(m_host[0]), "non-finite training loss in benchmark"
+
+    families = {}
+    if "--no-families" not in sys.argv:
+        for family in ("pipn_exact", "pipn_pp", "pi_gano"):
+            try:
+                families[family] = measure_family(family, dataset)
+            except Exception as e:  # never let a family config sink the bench
+                families[family] = f"error: {e}"
+
     print(json.dumps({
         "metric": "train_steps_per_sec_per_chip (2D duct PIPN, batch 13, 2500 pts)",
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / REFERENCE_GPU_STEPS_PER_SEC, 2),
+        "families": families,
     }))
 
 

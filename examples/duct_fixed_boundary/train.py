@@ -42,7 +42,8 @@ def get_model(args, normalizers):
                 seg_layers=[1024 + 64, 512, 256, 128, 3],
                 seg_dropout=[0.05, 0.05, 0, 0],
                 scalers=normalizers,
-                activation=nn.silu)
+                activation=nn.silu,
+                fast_derivatives=getattr(args, "fast_derivatives", False))
         case "pipn-pp":
             return pipn_foam_pp(
                 nu=NU, d=D, f=F,

@@ -182,40 +182,43 @@ class PiGanoPpFullModule(nn.Module):
         return y
 
 
-def _neural_ops_prop(params_prefix, n_operators, dropout, act, last_activation,
-                     v, j, h, par, deterministic, rng, analytic):
-    """Propagate (v, J, H) through a NeuralOperatorSequential parameter tree:
+def _neural_ops_prop_ctx(params_prefix, n_operators, dropout, act,
+                         last_activation, v_loc, j, h, vb_loc, geom, par,
+                         deterministic, rng, analytic):
+    """Propagate (v, J, H) through a NeuralOperatorSequential parameter tree
+    whose input is ``[points_embedding || geometry_embedding]``:
     Dense -> activation -> dropout -> elementwise modulation by the constant
-    branch embedding (constant context: d(par)/dx = 0)."""
+    branch embedding (constant context: d(par)/dx = 0).
+
+    Uses the same structural optimizations as ``analytic.decoder_prop``: the
+    first operator's kernel is split so the constant geometry block runs once
+    per case and the J/H rows skip its zero block; internal + boundary value
+    rows share each layer's matmul; one dropout mask covers the merged rows
+    (matching the exact path's single forward)."""
+    n_int = v_loc.shape[-2]
     par_j = par[..., None, :]
+    v = None
     for i in range(n_operators):
         p = params_prefix[f"operator_{i}"]["Dense_0"]
-        v, j, h = analytic.dense_prop(p, v, j, h)
+        if i == 0:
+            v, j, h, v_b = analytic.context_dense_prop(
+                p, v_loc.shape[-1], v_loc, j, h, vb_loc, geom)
+            v = jnp.concatenate([v, v_b], axis=-2)
+        else:
+            w = p["kernel"]
+            v = v @ w + p["bias"]
+            j = j @ w
+            h = h @ w
         if not (i == n_operators - 1 and not last_activation):
-            v, j, h = analytic.activation_prop(act, v, j, h)
+            v, j, h = analytic.activation_prop_merged(act, v, j, h, n_int)
         if dropout[i] > 0 and not deterministic:
             rng, sub = jax.random.split(rng)
-            v, j, h = analytic.dropout_prop(sub, dropout[i], v, j, h)
+            v, j, h = analytic.dropout_prop_merged(sub, dropout[i], v, j, h,
+                                                   n_int)
         v = v * par
         j = j * par_j
         h = h * par_j
     return v, j, h
-
-
-def _neural_ops_value(params_prefix, n_operators, dropout, act,
-                      last_activation, v, par, deterministic, rng):
-    for i in range(n_operators):
-        p = params_prefix[f"operator_{i}"]["Dense_0"]
-        v = v @ p["kernel"] + p["bias"]
-        if not (i == n_operators - 1 and not last_activation):
-            v = act(v)
-        if dropout[i] > 0 and not deterministic:
-            rng, sub = jax.random.split(rng)
-            keep = 1.0 - dropout[i]
-            mask = jax.random.bernoulli(sub, keep, v.shape).astype(v.dtype)
-            v = v * mask / keep
-        v = v * par
-    return v
 
 
 def pi_gano_apply_with_derivatives(module: PiGanoModule):
@@ -231,7 +234,6 @@ def pi_gano_apply_with_derivatives(module: PiGanoModule):
         x_bnd = boundary_view["C"]
         pts_all = jnp.concatenate([x_int, x_bnd], axis=-2)
         act = module.activation
-        d_in = x_int.shape[-1]
 
         # pooled context: geometry + branch embeddings (value-only)
         geom_in = jnp.concatenate([batch["boundaryId"], batch["sdf"]], axis=-1)
@@ -251,47 +253,24 @@ def pi_gano_apply_with_derivatives(module: PiGanoModule):
         lv_b = analytic.mlp_value(params["points_encoder"],
                                   module.local_layers, x_bnd, act)
 
-        g_int = jnp.broadcast_to(geom, (*lv.shape[:-1], geom.shape[-1]))
-        gj, gh = analytic.constant_features(g_int, d_in)
-        v, j, h = analytic.concat_triples([(lv, lj, lh), (g_int, gj, gh)])
-        g_bnd = jnp.broadcast_to(geom, (*lv_b.shape[:-1], geom.shape[-1]))
-        v_b = jnp.concatenate([lv_b, g_bnd], axis=-1)
-
-        if rng is not None:
-            rng, r_int, r_bnd = jax.random.split(rng, 3)
-        else:
-            r_int = r_bnd = None
-
         if module.full:
-            outs_i, outs_b = [], []
+            outs = []
             for k in range(module.out_features):
-                vk, jk, hk = _neural_ops_prop(
+                vk, jk, hk = _neural_ops_prop_ctx(
                     params[f"neural_ops_{k}"], module.n_operators,
-                    module.operator_dropout, act, False, v, j, h, par,
-                    deterministic, r_int, analytic)
-                outs_i.append((jnp.sum(vk, -1, keepdims=True),
-                               jnp.sum(jk, -1, keepdims=True),
-                               jnp.sum(hk, -1, keepdims=True)))
-                outs_b.append(jnp.sum(_neural_ops_value(
-                    params[f"neural_ops_{k}"], module.n_operators,
-                    module.operator_dropout, act, False, v_b, par,
-                    deterministic, r_bnd), -1, keepdims=True))
-            v, j, h = analytic.concat_triples(outs_i)
-            v_b = jnp.concatenate(outs_b, axis=-1)
+                    module.operator_dropout, act, False, lv, lj, lh, lv_b,
+                    geom, par, deterministic, rng, analytic)
+                outs.append((jnp.sum(vk, -1, keepdims=True),
+                             jnp.sum(jk, -1, keepdims=True),
+                             jnp.sum(hk, -1, keepdims=True)))
+            out, j, h = analytic.concat_triples(outs)
         else:
-            v, j, h = _neural_ops_prop(
+            v, j, h = _neural_ops_prop_ctx(
                 params["neural_ops"], module.n_operators,
-                module.operator_dropout, act, True, v, j, h, par,
-                deterministic, r_int, analytic)
-            v_b = _neural_ops_value(
-                params["neural_ops"], module.n_operators,
-                module.operator_dropout, act, True, v_b, par,
-                deterministic, r_bnd)
-            red = params["reduction"]
-            v, j, h = analytic.dense_prop(red, v, j, h)
-            v_b = v_b @ red["kernel"] + red["bias"]
+                module.operator_dropout, act, True, lv, lj, lh, lv_b,
+                geom, par, deterministic, rng, analytic)
+            out, j, h = analytic.dense_prop(params["reduction"], v, j, h)
 
-        out = jnp.concatenate([v, v_b], axis=-2)
         return out, jnp.swapaxes(j, -1, -2), jnp.swapaxes(h, -1, -2)
 
     return fn
@@ -315,7 +294,6 @@ def pi_gano_pp_apply_with_derivatives(module: PiGanoPpModule):
         x_int = internal_view["C"]
         x_bnd = boundary_view["C"]
         act = module.activation
-        d_in = x_int.shape[-1]
 
         geom_in = jnp.concatenate([x_bnd, boundary_view["boundaryId"]],
                                   axis=-1)
@@ -334,27 +312,11 @@ def pi_gano_pp_apply_with_derivatives(module: PiGanoPpModule):
         lv_b = analytic.mlp_value(params["points_encoder"],
                                   module.local_layers, x_bnd, act)
 
-        g_int = jnp.broadcast_to(geom, (*lv.shape[:-1], geom.shape[-1]))
-        gj, gh = analytic.constant_features(g_int, d_in)
-        v, j, h = analytic.concat_triples([(lv, lj, lh), (g_int, gj, gh)])
-        g_bnd = jnp.broadcast_to(geom, (*lv_b.shape[:-1], geom.shape[-1]))
-        v_b = jnp.concatenate([lv_b, g_bnd], axis=-1)
-
-        if rng is not None:
-            rng, r_int, r_bnd = jax.random.split(rng, 3)
-        else:
-            r_int = r_bnd = None
-        v, j, h = _neural_ops_prop(params["neural_ops"], module.n_operators,
-                                   module.operator_dropout, act, True,
-                                   v, j, h, par, deterministic, r_int, analytic)
-        v_b = _neural_ops_value(params["neural_ops"], module.n_operators,
-                                module.operator_dropout, act, True, v_b, par,
-                                deterministic, r_bnd)
-        red = params["reduction"]
-        v, j, h = analytic.dense_prop(red, v, j, h)
-        v_b = v_b @ red["kernel"] + red["bias"]
-
-        out = jnp.concatenate([v, v_b], axis=-2)
+        v, j, h = _neural_ops_prop_ctx(
+            params["neural_ops"], module.n_operators, module.operator_dropout,
+            act, True, lv, lj, lh, lv_b, geom, par, deterministic, rng,
+            analytic)
+        out, j, h = analytic.dense_prop(params["reduction"], v, j, h)
         return out, jnp.swapaxes(j, -1, -2), jnp.swapaxes(h, -1, -2)
 
     return fn

@@ -198,27 +198,11 @@ def pipn_apply_with_derivatives(module: PipnModule):
                                g_in, act)
         g = jnp.max(g, axis=-2, keepdims=True)
 
-        g_int = jnp.broadcast_to(g, (*lv_i.shape[:-1], g.shape[-1]))
-        gj, gh = analytic.constant_features(g_int, x_int.shape[-1])
-        v, j, h = analytic.concat_triples([(lv_i, lj, lh), (g_int, gj, gh)])
-        if rng is not None:
-            rng, r_int, r_bnd = jax.random.split(rng, 3)
-        else:
-            r_int = r_bnd = None
-        v, j, h = analytic.mlp_prop(params["decoder"], module.seg_layers,
-                                    v, j, h, act,
-                                    dropout=module.seg_dropout,
-                                    last_activation=False,
-                                    deterministic=deterministic, rng=r_int)
-
-        g_bnd = jnp.broadcast_to(g, (*lv_b.shape[:-1], g.shape[-1]))
-        v_b = analytic.mlp_value(params["decoder"], module.seg_layers,
-                                 jnp.concatenate([lv_b, g_bnd], axis=-1), act,
-                                 dropout=module.seg_dropout,
-                                 last_activation=False,
-                                 deterministic=deterministic, rng=r_bnd)
-
-        out = jnp.concatenate([v, v_b], axis=-2)
+        out, j, h = analytic.decoder_prop(
+            params["decoder"], module.seg_layers, lv_i.shape[-1],
+            lv_i, lj, lh, lv_b, g, act,
+            dropout=module.seg_dropout, last_activation=False,
+            deterministic=deterministic, rng=rng)
         jac = jnp.swapaxes(j, -1, -2)   # (..., Ni, O, D)
         lap = jnp.swapaxes(h, -1, -2)
         return out, jac, lap
@@ -296,24 +280,11 @@ def pipn_pp_apply_with_derivatives(module):
                                          x_int, j0, h0, act)
         lv_b = analytic.mlp_value(local_params, local_layers, x_bnd, act)
 
-        g_int = jnp.broadcast_to(g, (*lv_i.shape[:-1], g.shape[-1]))
-        gj, gh = analytic.constant_features(g_int, x_int.shape[-1])
-        v, j, h = analytic.concat_triples([(lv_i, lj, lh), (g_int, gj, gh)])
-        if rng is not None:
-            rng, r_int, r_bnd = jax.random.split(rng, 3)
-        else:
-            r_int = r_bnd = None
-        v, j, h = analytic.mlp_prop(params["decoder"], module.seg_layers,
-                                    v, j, h, act, dropout=module.seg_dropout,
-                                    last_activation=False,
-                                    deterministic=deterministic, rng=r_int)
-        g_bnd = jnp.broadcast_to(g, (*lv_b.shape[:-1], g.shape[-1]))
-        v_b = analytic.mlp_value(params["decoder"], module.seg_layers,
-                                 jnp.concatenate([lv_b, g_bnd], axis=-1), act,
-                                 dropout=module.seg_dropout,
-                                 last_activation=False,
-                                 deterministic=deterministic, rng=r_bnd)
-        out = jnp.concatenate([v, v_b], axis=-2)
+        out, j, h = analytic.decoder_prop(
+            params["decoder"], module.seg_layers, lv_i.shape[-1],
+            lv_i, lj, lh, lv_b, g, act,
+            dropout=module.seg_dropout, last_activation=False,
+            deterministic=deterministic, rng=rng)
         return out, jnp.swapaxes(j, -1, -2), jnp.swapaxes(h, -1, -2)
 
     return fn

@@ -136,6 +136,100 @@ def mlp_prop(params: dict, layers: Sequence[int], v, j, h,
     return v, j, h
 
 
+def context_dense_prop(params: dict, n_local: int, v, j, h, v_b, g):
+    """First dense layer of a decoder whose input is ``[local || context]``.
+
+    The context block ``g`` (pooled geometry/branch embedding, shape
+    (..., 1, G)) is constant per case: its J/H blocks are structural zeros and
+    its value contribution is the same for every point. Splitting the kernel
+    ``W = [W_l; W_g]`` therefore
+      * computes ``g @ W_g`` ONCE per case instead of per point (for the
+        reference envelope W_g is 16x wider than W_l — this removes ~94% of
+        the first-layer value FLOPs), and
+      * skips the J/H matmuls against the zero context block entirely
+        (a 17x FLOP cut on the derivative rows).
+
+    Exactly equivalent to ``dense_prop`` on the concatenated input (modulo
+    float summation order). ``v_b`` (boundary/value-only rows) may be None.
+    """
+    w = params["kernel"]
+    w_local = w[:n_local]
+    ctx = g @ w[n_local:] + params["bias"]  # (..., 1, F): once per case
+    v = v @ w_local + ctx
+    if v_b is not None:
+        v_b = v_b @ w_local + ctx
+    return v, j @ w_local, h @ w_local, v_b
+
+
+def activation_prop_merged(act: Callable, v, j, h, n_int: int):
+    """Activation rules where ``v`` holds [internal || boundary] rows merged
+    along the point axis (one matmul feeds both) while J/H only cover the
+    first ``n_int`` (differentiated) rows."""
+    rules = ACTIVATION_RULES.get(act)
+    if rules is None:
+        raise KeyError(
+            f"no analytic derivative rules registered for activation {act}; "
+            f"register in physics.analytic.ACTIVATION_RULES")
+    val, d1, d2 = rules(v)
+    d1i = d1[..., :n_int, None, :]
+    h = d2[..., :n_int, None, :] * (j * j) + d1i * h
+    j = d1i * j
+    return val, j, h
+
+
+def dropout_prop_merged(rng, rate: float, v, j, h, n_int: int):
+    """One inverted-dropout mask over the merged rows; J/H share the mask of
+    their corresponding internal rows (derivative of mask*x/keep)."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, v.shape).astype(v.dtype) / keep
+    mask_i = mask[..., :n_int, None, :]
+    return v * mask, j * mask_i, h * mask_i
+
+
+def decoder_prop(params: dict, layers: Sequence[int], n_local: int,
+                 v, j, h, v_b, g,
+                 activation: Callable,
+                 dropout: Optional[Sequence[float]] = None,
+                 last_activation: bool = False,
+                 deterministic: bool = True,
+                 rng=None):
+    """Fused decoder-stack propagation over ``[local || context]`` inputs.
+
+    Combines three structural optimizations over a plain ``mlp_prop`` +
+    separate boundary ``mlp_value`` (all exact, see ``context_dense_prop``):
+      1. first-layer kernel split (per-case context contribution, zero-block
+         J/H skip);
+      2. internal-value and boundary-value rows merged into ONE row-stacked
+         matmul per layer (better MXU tiling, one dispatch);
+      3. a single dropout mask over the merged rows (matches the exact path,
+         which draws one mask for the whole concatenated forward).
+
+    :param v/j/h: internal local features + derivatives ((..., Ni, L),
+        (..., Ni, D, L)); ``v_b``: boundary local features (..., Nb, L) or
+        None; ``g``: pooled context (..., 1, G).
+    :return: (values over [internal || boundary] rows, J, H).
+    """
+    n_int = v.shape[-2]
+    v, j, h, v_b = context_dense_prop(params["linear_0"], n_local, v, j, h,
+                                      v_b, g)
+    if v_b is not None:
+        v = jnp.concatenate([v, v_b], axis=-2)
+    n_out = len(layers) - 1
+    for i in range(n_out):
+        if i > 0:
+            p = params[f"linear_{i}"]
+            w = p["kernel"]
+            v = v @ w + p["bias"]
+            j = j @ w
+            h = h @ w
+        if i < n_out - 1 or last_activation:
+            v, j, h = activation_prop_merged(activation, v, j, h, n_int)
+        if dropout is not None and dropout[i] > 0 and not deterministic:
+            rng, sub = jax.random.split(rng)
+            v, j, h = dropout_prop_merged(sub, dropout[i], v, j, h, n_int)
+    return v, j, h
+
+
 def mlp_value(params: dict, layers: Sequence[int], v,
               activation: Callable,
               dropout: Optional[Sequence[float]] = None,

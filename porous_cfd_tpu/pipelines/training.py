@@ -40,6 +40,10 @@ def build_arg_parser() -> ArgumentParser:
                    help="experiment name; results saved under this directory")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="checkpoint path to resume/finetune from")
+    p.add_argument("--fast-derivatives", action="store_true",
+                   help="use the analytic (v,J,H) derivative propagation "
+                        "where the model family supports it (physics/"
+                        "analytic.py) instead of exact nested autodiff")
     p.add_argument("--loss-scaler", type=str, default="fixed",
                    help="loss scaler. Supports fixed and relobralo")
     return p
