@@ -236,15 +236,15 @@ def pi_gano_apply_with_derivatives(module: PiGanoModule):
         act = module.activation
 
         # pooled context: geometry + branch embeddings (value-only)
+        from porous_cfd_tpu.models.pipn import _pointnet_global_dispatch
         geom_in = jnp.concatenate([batch["boundaryId"], batch["sdf"]], axis=-1)
-        geom = analytic.mlp_value(
+        geom = _pointnet_global_dispatch(
             params["geometry_encoder"]["linear"], module.geometry_layers,
             jnp.concatenate([geom_in, pts_all], axis=-1), act)
-        geom = jnp.max(geom, axis=-2, keepdims=True)
         par_features = gather_parameters(batch, module.variable_boundaries)
-        par = analytic.mlp_value(params["branch"]["linear"],
-                                 module.branch_layers, par_features, act)
-        par = jnp.max(par, axis=-2, keepdims=True)
+        par = _pointnet_global_dispatch(params["branch"]["linear"],
+                                        module.branch_layers, par_features,
+                                        act)
 
         # points encoder with derivatives (internal) / value (boundary)
         j0, h0 = analytic.identity_jacobian(x_int)
@@ -301,10 +301,11 @@ def pi_gano_pp_apply_with_derivatives(module: PiGanoPpModule):
         nbrs = extract_sa_neighbors(batch.domain, len(module.geometry_radius))
         geom = geom_enc.apply({"params": params["geometry_encoder"]},
                               geom_in, x_bnd, deterministic, nbrs)
+        from porous_cfd_tpu.models.pipn import _pointnet_global_dispatch
         par_features = gather_parameters(batch, module.variable_boundaries)
-        par = analytic.mlp_value(params["branch"]["linear"],
-                                 module.branch_layers, par_features, act)
-        par = jnp.max(par, axis=-2, keepdims=True)
+        par = _pointnet_global_dispatch(params["branch"]["linear"],
+                                        module.branch_layers, par_features,
+                                        act)
 
         j0, h0 = analytic.identity_jacobian(x_int)
         lv, lj, lh = analytic.mlp_prop(params["points_encoder"],

@@ -197,6 +197,19 @@ def _decoder_prop_dispatch(params, layers, n_local, v, jt, ht, v_b, g, act,
     return out, jnp.swapaxes(j, -1, -2), jnp.swapaxes(h, -1, -2)
 
 
+def _pointnet_global_dispatch(params, layers, x, act):
+    """max-pooled value MLP over points: fused Pallas kernel on TPU (only the
+    (B, 1, F) running max/argmax ever leaves VMEM — ops/pointnet_pallas.py),
+    XLA elsewhere."""
+    from porous_cfd_tpu.ops import pointnet_pallas
+    from porous_cfd_tpu.physics import analytic
+
+    if pointnet_pallas.on_tpu() and pointnet_pallas.supported(act):
+        return pointnet_pallas.pointnet_global(params, layers, x, act)
+    g = analytic.mlp_value(params, layers, x, act)
+    return jnp.max(g, axis=-2, keepdims=True)
+
+
 def pipn_apply_with_derivatives(module: PipnModule):
     """Build the analytic fast-path derivative function for a PipnModule
     (see physics/analytic.py): forward + per-point J/H in one (1+2D)x-forward
@@ -222,9 +235,8 @@ def pipn_apply_with_derivatives(module: PipnModule):
         local_all = jnp.concatenate([lv_i, lv_b], axis=-2)
 
         g_in = jnp.concatenate([local_all, feats], axis=-1)
-        g = analytic.mlp_value(fe["global_feature"], module.fe_global_layers,
-                               g_in, act)
-        g = jnp.max(g, axis=-2, keepdims=True)
+        g = _pointnet_global_dispatch(fe["global_feature"],
+                                      module.fe_global_layers, g_in, act)
 
         return _decoder_prop_dispatch(
             params["decoder"], module.seg_layers, lv_i.shape[-1],
