@@ -44,15 +44,25 @@ def sample_process_fn(data, target, predicted, case_path, plot_path):
                          np.asarray(u_s.inverse_transform(target["U"])),
                          np.asarray(p_s.inverse_transform(target["p"])),
                          save_path=plot_path)
+    solids = {"solid": "oldlace", "mesh": "mediumseagreen"}
     if viz3d.HAS_PYVISTA:
         viz3d.plot_streamlines("Predicted streamlines", case_path, pts, pred_u,
-                               save_path=plot_path)
+                               pred_p, additional_meshes=solids,
+                               save_path=plot_path, interp_radius=7)
     if "solid" in target:
         u_err = np.abs(pred_u - np.asarray(u_s.inverse_transform(target["U"])))
+        p_err = np.abs(pred_p - np.asarray(p_s.inverse_transform(target["p"])))
         solid_rows = np.asarray(target.domain["solid"])
-        viz3d.plot_surface_errors("House surface U error", pts[solid_rows],
-                                  np.linalg.norm(u_err[solid_rows], axis=-1),
-                                  save_path=plot_path)
+        house_obj = Path(case_path) / "constant/triSurface/solid.obj"
+        if viz3d.HAS_PYVISTA and house_obj.exists():
+            viz3d.plot_houses("House", pts[solid_rows], u_err[solid_rows],
+                              p_err[solid_rows], house_obj,
+                              save_path=plot_path)
+        else:
+            viz3d.plot_surface_errors(
+                "House surface U error", pts[solid_rows],
+                np.linalg.norm(u_err[solid_rows], axis=-1),
+                save_path=plot_path)
 
 
 def run():

@@ -120,3 +120,40 @@ def test_viz2d_plot_case(tmp_path):
                                 "p": rng.normal(size=20)}})
     viz2d.plot_case(str(tmp_path / "case"), tmp_path)
     assert saved(tmp_path, "case")
+
+
+def test_viz3d_streamline_geometry_helpers():
+    """Inlet seeding + slice origin + camera placement — the physics-relevant
+    geometry of the PyVista streamline figure, PyVista-free."""
+    rng = np.random.default_rng(0)
+    inlet = rng.uniform(size=(200, 3))
+    inlet[::4, 0] = 0.0  # upstream face at x=0
+    seeds = viz3d.inlet_seed_points(inlet, k=50, rng=rng)
+    assert seeds.shape == (50, 3)
+    assert np.all(seeds[:, 0] == 0.0)
+    # every seed is one of the upstream-face points
+    upstream = inlet[inlet[:, 0] == 0.0]
+    assert all(any(np.allclose(s, q) for q in upstream) for s in seeds)
+
+    class FakeSolid:
+        center = (0.0, 0.0, 2.5)
+
+    assert viz3d.slice_origin([(FakeSolid(), "oldlace")]) == (0.0, 0.0, 2.5)
+    assert viz3d.slice_origin([]) == (0.0, 0.0, 1.0)
+
+    cam = viz3d.camera_position(np.array([[2.0, 0.0, 0.0]]))
+    np.testing.assert_allclose(cam, np.array([-0.8, -1.0, 0.5]) * 5.0)
+
+
+def test_viz3d_pyvista_paths_gated():
+    """Without pyvista the mesh-render entry points raise actionable errors
+    instead of failing deep inside."""
+    if viz3d.HAS_PYVISTA:
+        import pytest
+        pytest.skip("pyvista installed; gating not reachable")
+    import pytest
+    with pytest.raises(RuntimeError, match="pyvista"):
+        viz3d.plot_streamlines("t", ".", np.zeros((4, 3)), np.zeros((4, 3)))
+    with pytest.raises(RuntimeError, match="pyvista"):
+        viz3d.plot_houses("t", np.zeros((4, 3)), np.zeros((4, 3)),
+                          np.zeros((4, 1)), "house.obj")
