@@ -23,6 +23,9 @@ sequential autograd graph replays + Lightning dispatch; the host-measured
 torch-CPU data point is 0.005 steps/s). vs_baseline = value / 30.
 """
 import json
+from porous_cfd_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()
+
 import sys
 import time
 

@@ -25,6 +25,9 @@ from porous_cfd_tpu.train.engine import (gather_cases, make_optimizer,
 from porous_cfd_tpu.viz.common import (box_plot, plot_data_dist, plot_errors,
                                        plot_multi_bar, plot_per_case,
                                        plot_timing)
+from porous_cfd_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 
 def create_plots_root_dir(save_plots: bool, data_dir: str, checkpoint: str):
@@ -127,13 +130,20 @@ def get_common_data(data: FoamDataset, predicted: FoamData, target: FoamData,
         target_div = np.asarray(target["internal"]["div(phi)"])
         target_momentum = np.asarray(target["internal"]["momentError"])
 
-    all_points = np.asarray(target["C"])
-    interface_points = np.asarray(target["interface"]["C"])
-    if "C" in data.normalizers:
-        all_points = np.asarray(data.normalizers["C"].inverse_transform(all_points))
-        interface_points = np.asarray(
-            data.normalizers["C"].inverse_transform(interface_points))
-    interface_dist = get_normalized_signed_distance(all_points, interface_points)
+    # cases without an explicit fluid/porous interface patch (e.g. the FVM
+    # golden-duct fixtures) skip the distance-from-interface metrics
+    if "interface" in target.domain:
+        all_points = np.asarray(target["C"])
+        interface_points = np.asarray(target["interface"]["C"])
+        if "C" in data.normalizers:
+            all_points = np.asarray(
+                data.normalizers["C"].inverse_transform(all_points))
+            interface_points = np.asarray(
+                data.normalizers["C"].inverse_transform(interface_points))
+        interface_dist = get_normalized_signed_distance(all_points,
+                                                        interface_points)
+    else:
+        interface_dist = None
 
     return {"U error": u_error,
             "p error": p_error,
@@ -170,11 +180,12 @@ def plot_common_data(data: dict, plots_path) -> DataFrame:
 
     plot_per_case("Per case mean errors", np.mean(errors, axis=-2), plots_path)
 
-    max_err_dist = get_mean_max_error_distance(errors, 0.8,
-                                               data["Interface distance"])
-    plot_errors("Errors mean normalized distance from interface", max_err_dist,
-                save_path=plots_path)
-    eval_df.loc["Top errors distance from interface"] = max_err_dist
+    if data["Interface distance"] is not None:
+        max_err_dist = get_mean_max_error_distance(errors, 0.8,
+                                                   data["Interface distance"])
+        plot_errors("Errors mean normalized distance from interface",
+                    max_err_dist, save_path=plots_path)
+        eval_df.loc["Top errors distance from interface"] = max_err_dist
 
     u_errors = np.concatenate(data["U error"])
     p_errors = np.concatenate(data["p error"])
@@ -268,9 +279,11 @@ def evaluate(args: Namespace, model: PinnModel, params, data: FoamDataset,
         if results is None:
             results = {k: [] for k in sample}
         for k, v in sample.items():
-            results[k].append(np.asarray(v))
+            if v is not None:
+                results[k].append(np.asarray(v))
 
-    results = {k: np.concatenate(v) for k, v in results.items()}
+    results = {k: np.concatenate(v) if v else None
+               for k, v in results.items()}
     plot_common_data(results, plots_path)
     if postprocess_fn:
         postprocess_fn(data, results, plots_path)

@@ -18,6 +18,9 @@ from porous_cfd_tpu.data.foam_data import FoamData
 from porous_cfd_tpu.models.base import PinnModel
 from porous_cfd_tpu.train.engine import (gather_cases, make_optimizer,
                                          make_train_functions)
+from porous_cfd_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 
 def default_checkpoint() -> str:

@@ -15,6 +15,9 @@ from porous_cfd_tpu.data.dataset import FoamDataset
 from porous_cfd_tpu.models.base import PinnModel
 from porous_cfd_tpu.physics.scaling import LossScaler
 from porous_cfd_tpu.train.trainer import Trainer, TrainerConfig
+from porous_cfd_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 
 def build_arg_parser() -> ArgumentParser:
@@ -46,6 +49,10 @@ def build_arg_parser() -> ArgumentParser:
                         "analytic.py) instead of exact nested autodiff")
     p.add_argument("--loss-scaler", type=str, default="fixed",
                    help="loss scaler. Supports fixed and relobralo")
+    p.add_argument("--log-every", type=int, default=1,
+                   help="epochs per logging/validation sync; values > 1 also "
+                        "run that many epochs as one device program "
+                        "(train scalars are still logged per epoch)")
     return p
 
 
@@ -56,7 +63,8 @@ def train(args: Namespace, model: PinnModel,
     """Train with checkpoint-every-500-epochs + final model.ckpt
     (training.py:50-85)."""
     cfg = TrainerConfig(epochs=args.epochs, batch_size=args.batch_size,
-                        logs_dir=args.logs_dir, name=args.name)
+                        logs_dir=args.logs_dir, name=args.name,
+                        log_every=getattr(args, "log_every", 1))
     # --precision is honored on the forward-only surfaces (validation here,
     # inference via model_meta.json); physics/derivative graphs stay f32
     # (axon bf16 second-order miscompile, BASELINE.md).

@@ -163,6 +163,7 @@ class TrainFunctions:
     loss scaler as the step functions (so their carried states always agree)."""
     train_step: Callable
     train_epoch: Callable
+    train_epochs: Callable
     eval_batch: Callable
     predict_batch: Callable
     metric_labels: tuple[str, ...]
@@ -256,6 +257,16 @@ def make_train_functions(model: PinnModel,
         state, metrics = jax.lax.scan(body, state, perm)
         return state, jnp.mean(metrics, axis=0)
 
+    def train_epochs(state: TrainState, dataset: FoamData, perms: jnp.ndarray):
+        """K epochs as ONE device program (scan over epochs of the epoch
+        scan). perms: (K, S, B). Returns per-epoch mean metrics (K, M) so the
+        host can still log every epoch's scalars — it just syncs once per
+        chunk instead of once per epoch (the per-epoch device->host round
+        trip dominates wall clock on high-latency backends)."""
+        def body(st, perm):
+            return train_epoch(st, dataset, perm)
+        return jax.lax.scan(body, state, perms)
+
     def eval_batch(params, batch: FoamData):
         """Validation step (model_base.py:220-226): plain forward on all points,
         denormalized MAEs. Returns [p_error, *u_errors]. Forward-only, so the
@@ -308,6 +319,7 @@ def make_train_functions(model: PinnModel,
     return TrainFunctions(
         train_step=jax.jit(train_step, donate_argnums=0),
         train_epoch=jax.jit(train_epoch, donate_argnums=0),
+        train_epochs=jax.jit(train_epochs, donate_argnums=0),
         eval_batch=jax.jit(eval_batch),
         predict_batch=jax.jit(predict_batch, static_argnums=2),
         metric_labels=tuple(labels),

@@ -172,47 +172,70 @@ class Trainer:
         for _ in range(start_epoch):  # replay shuffles so resume == uninterrupted
             self._epoch_perm(host_rng)
         t0 = time.time()
-        for epoch in range(start_epoch, cfg.epochs):
-            perm, rem = self._epoch_perm(host_rng)
-            if self.full_steps:
-                state, m_full = self.fns.train_epoch(state, dataset,
-                                                     jnp.asarray(perm))
+        # Epoch-chunk size: with ``log_every`` > 1 and no remainder batch, run
+        # that many epochs as ONE device program (engine.train_epochs) — the
+        # per-epoch device->host metric sync dominates wall clock on
+        # high-latency backends. Every epoch's train scalars are still logged
+        # (the chunk returns per-epoch metrics); validation runs once per
+        # chunk, at its last epoch. log_every=1 keeps exact reference cadence.
+        chunk_size = cfg.log_every if (self.remainder == 0
+                                       and cfg.log_every > 1) else 1
+        epoch = start_epoch
+        while epoch < cfg.epochs:
+            k = min(chunk_size, cfg.epochs - epoch,
+                    cfg.checkpoint_every - epoch % cfg.checkpoint_every)
+            if k > 1:
+                perms = np.stack(
+                    [self._epoch_perm(host_rng)[0] for _ in range(k)])
+                state, m_epochs = self.fns.train_epochs(state, dataset,
+                                                        jnp.asarray(perms))
+                m_epochs = np.asarray(m_epochs)          # (k, M), one sync
             else:
-                m_full = None
-            if len(rem):
-                state, m_rem = self.fns.train_step(
-                    state, gather_cases(dataset, jnp.asarray(rem)))
-            metrics = self._combine(
-                np.asarray(m_full) if m_full is not None else 0.0,
-                self.full_steps * self.batch_size,
-                np.asarray(m_rem) if len(rem) else 0.0, len(rem))
+                perm, rem = self._epoch_perm(host_rng)
+                if self.full_steps:
+                    state, m_full = self.fns.train_epoch(state, dataset,
+                                                         jnp.asarray(perm))
+                else:
+                    m_full = None
+                if len(rem):
+                    state, m_rem = self.fns.train_step(
+                        state, gather_cases(dataset, jnp.asarray(rem)))
+                m_epochs = self._combine(
+                    np.asarray(m_full) if m_full is not None else 0.0,
+                    self.full_steps * self.batch_size,
+                    np.asarray(m_rem) if len(rem) else 0.0, len(rem))[None]
+            last = epoch + k  # 1-based epoch index of the chunk's last epoch
+            metrics = m_epochs[-1]
 
-            if (epoch + 1) % cfg.log_every == 0:
-                for label, v in zip(self.fns.metric_labels, metrics):
-                    self.writer.add_scalar(label, float(v), epoch)
+            for i in range(k):
+                if (epoch + i + 1) % cfg.log_every == 0 or k > 1:
+                    for label, v in zip(self.fns.metric_labels, m_epochs[i]):
+                        self.writer.add_scalar(label, float(v), epoch + i)
+            if last % cfg.log_every == 0 or k > 1:
                 lr = self._current_lr(state)
-                self.writer.add_scalar("lr-Adam", lr, epoch)
+                self.writer.add_scalar("lr-Adam", lr, last - 1)
                 if state.scaler_state is not None:
                     lam = np.asarray(state.scaler_state.lambda_ema)
                     self.writer.add_scalars(
                         "Loss weights",
                         dict(zip(self.fns.metric_labels[1:1 + len(lam)],
-                                 lam.tolist())), epoch)
-                if self.val_data is not None:
-                    val = self.validate(state.params)
-                    for label, v in zip(
-                            [f"Validation {l}"
-                             for l in error_labels(self.model.dims)], val):
-                        self.writer.add_scalar(label, float(v), epoch)
+                                 lam.tolist())), last - 1)
+            if self.val_data is not None and last % cfg.log_every == 0:
+                val = self.validate(state.params)
+                for label, v in zip(
+                        [f"Validation {l}"
+                         for l in error_labels(self.model.dims)], val):
+                    self.writer.add_scalar(label, float(v), last - 1)
 
-            if (epoch + 1) % cfg.checkpoint_every == 0:
-                self.save_checkpoint(state, epoch + 1,
-                                     f"checkpoint-epoch={epoch + 1}.ckpt")
-            if (epoch + 1) % cfg.print_every == 0 or epoch == start_epoch:
-                rate = (epoch + 1 - start_epoch) * self.steps_per_epoch \
+            if last % cfg.checkpoint_every == 0:
+                self.save_checkpoint(state, last,
+                                     f"checkpoint-epoch={last}.ckpt")
+            if last % cfg.print_every < k or epoch == start_epoch:
+                rate = (last - start_epoch) * self.steps_per_epoch \
                     / max(time.time() - t0, 1e-9)
-                print(f"epoch {epoch + 1}/{cfg.epochs} "
+                print(f"epoch {last}/{cfg.epochs} "
                       f"total={metrics[0]:.5f} ({rate:.1f} steps/s)")
+            epoch = last
 
         self.save_checkpoint(state, cfg.epochs, "model.ckpt")
         if self._writer is not None:

@@ -92,3 +92,30 @@ def test_resume_determinism_note():
             s = t.fit()
             runs.append(np.asarray(s.params["decoder"]["linear_0"]["kernel"]))
     np.testing.assert_array_equal(runs[0], runs[1])
+
+
+def test_chunked_epochs_match_per_epoch(tmp_path):
+    """log_every > 1 runs epochs in one device program (engine.train_epochs);
+    the final state must be bit-identical to the per-epoch loop (same shuffle
+    stream, same step math), and every epoch's scalars must still be logged."""
+    import jax
+
+    data = make_data(4)
+    states = {}
+    for name, log_every in [("per-epoch", 1), ("chunked", 3)]:
+        model = tiny_model()
+        trainer = Trainer(model, data, None,
+                          TrainerConfig(epochs=6, batch_size=2,
+                                        logs_dir=str(tmp_path), name=name,
+                                        log_every=log_every,
+                                        checkpoint_every=3),
+                          model_type="pipn")
+        states[name] = trainer.fit()
+        assert (tmp_path / "lightning_logs" / name
+                / "checkpoint-epoch=3.ckpt").exists()
+
+    flat_a = jax.tree_util.tree_leaves(states["per-epoch"].params)
+    flat_b = jax.tree_util.tree_leaves(states["chunked"].params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(states["chunked"].step) == int(states["per-epoch"].step)

@@ -76,19 +76,28 @@ def rel_l2(pred, ref):
 
 
 def train_and_score(root: Path, name: str, epochs: int, fast: bool,
-                    logs_dir: Path):
+                    logs_dir: Path, n_boundary: int = 1000,
+                    reuse_ckpt: bool = False):
+    ckpt_path = logs_dir / "lightning_logs" / name / "model.ckpt"
+    if reuse_ckpt and ckpt_path.exists():
+        return score_checkpoint(root, name, fast, logs_dir, n_boundary,
+                                wall=float("nan"))
     env_args = [
         sys.executable, str(REPO / "examples/duct_fixed_boundary/train.py"),
         "--model", "pipn", "--name", name, "--epochs", str(epochs),
         "--train-dir", str(root / "train"), "--val-dir", str(root / "val"),
-        "--n-internal", "1500", "--n-boundary", "1000",
+        "--n-internal", "1500", "--n-boundary", str(n_boundary),
         "--n-observations", "700", "--batch-size", "13",
-        "--logs-dir", str(logs_dir),
+        "--logs-dir", str(logs_dir), "--log-every", "25",
     ] + (["--fast-derivatives"] if fast else [])
     t0 = time.time()
     subprocess.run(env_args, check=True, cwd=REPO)
-    wall = time.time() - t0
+    return score_checkpoint(root, name, fast, logs_dir, n_boundary,
+                            wall=time.time() - t0)
 
+
+def score_checkpoint(root: Path, name: str, fast: bool, logs_dir: Path,
+                     n_boundary: int, wall: float):
     # denormalized rel-L2 vs the CFD fields, trained + held-out splits
     import jax.numpy as jnp
 
@@ -101,7 +110,7 @@ def train_and_score(root: Path, name: str, epochs: int, fast: bool,
     ckpt = logs_dir / "lightning_logs" / name / "model.ckpt"
     scores = {"wall_s": wall}
     rng = np.random.default_rng(8421)
-    train_ds = FoamDataset(str(root / "train"), 1500, 1000, 700, rng)
+    train_ds = FoamDataset(str(root / "train"), 1500, n_boundary, 700, rng)
     model = get_model(argparse.Namespace(model="pipn", fast_derivatives=fast),
                       train_ds.normalizers)
     state, _ = load_checkpoint(str(ckpt), model, train_ds.stacked())
@@ -109,7 +118,7 @@ def train_and_score(root: Path, name: str, epochs: int, fast: bool,
     fns = make_train_functions(model, make_optimizer(model, 1))
     u_s, p_s = train_ds.normalizers["U"], train_ds.normalizers["p"]
     for split in ("train", "val"):
-        ds = FoamDataset(str(root / split), 1500, 1000, 700,
+        ds = FoamDataset(str(root / split), 1500, n_boundary, 700,
                          np.random.default_rng(8421),
                          meta_dir=str(root / "train"))
         stacked = ds.stacked()
@@ -125,12 +134,12 @@ def train_and_score(root: Path, name: str, epochs: int, fast: bool,
     return scores
 
 
-def run_evaluation(root: Path, ckpt: Path):
+def run_evaluation(root: Path, ckpt: Path, n_boundary: int = 1000):
     subprocess.run([
         sys.executable, str(REPO / "examples/duct_fixed_boundary/evaluate.py"),
         "--data-dir", str(root / "val"), "--meta-dir", str(root / "train"),
         "--checkpoint", str(ckpt), "--save-plots",
-        "--n-internal", "1500", "--n-boundary", "1000",
+        "--n-internal", "1500", "--n-boundary", str(n_boundary),
         "--n-observations", "700",
     ], check=True, cwd=REPO)
 
@@ -143,6 +152,12 @@ def main():
     ap.add_argument("--ny", type=int, default=72)
     ap.add_argument("--reuse-data", action="store_true")
     ap.add_argument("--skip-exact", action="store_true")
+    ap.add_argument("--reuse-ckpt", action="store_true",
+                    help="skip training when the checkpoint already exists; "
+                         "just score + evaluate")
+    ap.add_argument("--n-boundary", type=int, default=1000,
+                    help="boundary sample count; the FVM grid exposes "
+                         "2*(nx+ny) boundary faces, so cap this below that")
     args = ap.parse_args()
 
     root = Path(args.root).resolve()
@@ -152,11 +167,12 @@ def main():
     logs_dir = root / "logs"
     results = {}
     results["analytic"] = train_and_score(root, "golden-pipn-fast",
-                                          args.epochs, True, logs_dir)
+                                          args.epochs, True, logs_dir,
+                                          args.n_boundary, args.reuse_ckpt)
     if not args.skip_exact:
         results["exact"] = train_and_score(root, "golden-pipn-exact",
-                                           args.epochs, False, logs_dir)
-    run_evaluation(root, Path(results["analytic"]["ckpt"]))
+                                           args.epochs, False, logs_dir,
+                                           args.n_boundary, args.reuse_ckpt)
     print(json.dumps(results, indent=2))
 
     lines = ["", "## CFD ground truth (duct_fixed_boundary, in-repo FVM solver)",
@@ -164,7 +180,9 @@ def main():
              f"{len(TRAIN_CASES)} solved duct cases (reference geometry/BCs, "
              f"{args.nx}x{args.ny} grid, porous-primitive zoo), "
              f"{len(VAL_CASES)} held-out; reference envelope (batch 13, "
-             f"1500/1000/700 points, {args.epochs} epochs, seed 8421) through "
+             f"1500/{args.n_boundary}/700 points — boundary capped by the "
+             f"grid's 2*(nx+ny) boundary faces, {args.epochs} epochs, "
+             f"seed 8421) through "
              "the examples/duct_fixed_boundary CLI.", "",
              "| Path | Wall | Trained rel-L2 (U / p) | Held-out rel-L2 (U / p) |",
              "|---|---|---|---|"]
@@ -185,6 +203,10 @@ def main():
               "Errors.csv artifacts under the val split's plots directory.", ""]
     with open(REPO / "CONVERGENCE.md", "a") as fh:
         fh.write("\n".join(lines))
+
+    # Errors.csv artifacts last: the scores above are already recorded even
+    # if the evaluation pipeline trips on an environment issue.
+    run_evaluation(root, Path(results["analytic"]["ckpt"]), args.n_boundary)
 
 
 if __name__ == "__main__":
