@@ -221,6 +221,26 @@ def _neural_ops_prop_ctx(params_prefix, n_operators, dropout, act,
     return v, j, h
 
 
+def _trunk_prop_dispatch(params, module, lv_fn, lv_b, geom, par, x_int, act,
+                         deterministic, rng):
+    """Points-encoder + NeuralOperator-trunk + reduction propagation:
+    the fused Pallas kernel on TPU (ops/neural_op_pallas.py — every layer
+    intermediate VMEM-resident, transposed J/H layout end to end), the XLA
+    closed-form path elsewhere. ``lv_fn(transposed)`` computes the local
+    chain in the requested derivative layout. Returns engine-convention
+    (out, jac, lap) or None when the kernel doesn't cover the config."""
+    from porous_cfd_tpu.ops import neural_op_pallas
+    from porous_cfd_tpu.physics import analytic
+
+    if not (neural_op_pallas.on_tpu() and neural_op_pallas.supported(act)):
+        return None
+    lv, ljt, lht = lv_fn(transposed=True)
+    return neural_op_pallas.neural_ops_prop(
+        params["neural_ops"], module.n_operators, lv.shape[-1], lv, ljt, lht,
+        lv_b, geom, par, act, module.operator_dropout, True,
+        params["reduction"], deterministic=deterministic, rng=rng)
+
+
 def pi_gano_apply_with_derivatives(module: PiGanoModule):
     """Analytic fast-path derivatives for PiGanoModule (physics/analytic.py):
     the geometry/branch embeddings are pooled context (the reference already
@@ -246,12 +266,25 @@ def pi_gano_apply_with_derivatives(module: PiGanoModule):
                                         module.branch_layers, par_features,
                                         act)
 
-        # points encoder with derivatives (internal) / value (boundary)
-        j0, h0 = analytic.identity_jacobian(x_int)
-        lv, lj, lh = analytic.mlp_prop(params["points_encoder"],
-                                       module.local_layers, x_int, j0, h0, act)
+        def local_chain(transposed=False):
+            if transposed:
+                j0t, h0t = analytic.identity_jacobian_t(x_int)
+                return analytic.mlp_prop_t(params["points_encoder"],
+                                           module.local_layers, x_int, j0t,
+                                           h0t, act)
+            j0, h0 = analytic.identity_jacobian(x_int)
+            return analytic.mlp_prop(params["points_encoder"],
+                                     module.local_layers, x_int, j0, h0, act)
+
         lv_b = analytic.mlp_value(params["points_encoder"],
                                   module.local_layers, x_bnd, act)
+        if not module.full:
+            fused = _trunk_prop_dispatch(params, module, local_chain, lv_b,
+                                         geom, par, x_int, act, deterministic,
+                                         rng)
+            if fused is not None:
+                return fused
+        lv, lj, lh = local_chain()
 
         if module.full:
             outs = []
@@ -307,11 +340,23 @@ def pi_gano_pp_apply_with_derivatives(module: PiGanoPpModule):
                                         module.branch_layers, par_features,
                                         act)
 
-        j0, h0 = analytic.identity_jacobian(x_int)
-        lv, lj, lh = analytic.mlp_prop(params["points_encoder"],
-                                       module.local_layers, x_int, j0, h0, act)
+        def local_chain(transposed=False):
+            if transposed:
+                j0t, h0t = analytic.identity_jacobian_t(x_int)
+                return analytic.mlp_prop_t(params["points_encoder"],
+                                           module.local_layers, x_int, j0t,
+                                           h0t, act)
+            j0, h0 = analytic.identity_jacobian(x_int)
+            return analytic.mlp_prop(params["points_encoder"],
+                                     module.local_layers, x_int, j0, h0, act)
+
         lv_b = analytic.mlp_value(params["points_encoder"],
                                   module.local_layers, x_bnd, act)
+        fused = _trunk_prop_dispatch(params, module, local_chain, lv_b, geom,
+                                     par, x_int, act, deterministic, rng)
+        if fused is not None:
+            return fused
+        lv, lj, lh = local_chain()
 
         v, j, h = _neural_ops_prop_ctx(
             params["neural_ops"], module.n_operators, module.operator_dropout,

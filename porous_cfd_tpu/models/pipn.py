@@ -170,7 +170,8 @@ class PipnPpFullModule(nn.Module):
 
 
 def _decoder_prop_dispatch(params, layers, n_local, v, jt, ht, v_b, g, act,
-                           dropout, deterministic, rng):
+                           dropout, deterministic, rng,
+                           jctx_t=None, hctx_t=None):
     """Decoder-stack propagation: the fused Pallas kernel on TPU (weights +
     every layer intermediate VMEM-resident — the step is HBM-bound, see
     ops/decoder_pallas.py), the XLA closed-form path elsewhere.
@@ -179,6 +180,8 @@ def _decoder_prop_dispatch(params, layers, n_local, v, jt, ht, v_b, g, act,
     (..., D, Ni, L) from ``analytic.mlp_prop_t`` and the result is returned
     directly in the engine's (..., Ni, O, D) convention — no layout copies
     around the kernel (TPU transposes of narrow-lane tensors are expensive).
+    ``jctx_t``/``hctx_t`` (..., D, Ni, G) carry the max-pool argmax coupling
+    of the pooled context (nonzero only at winner rows).
     Returns (out_merged, jac, lap)."""
     from porous_cfd_tpu.ops import decoder_pallas
     from porous_cfd_tpu.physics import analytic
@@ -188,12 +191,16 @@ def _decoder_prop_dispatch(params, layers, n_local, v, jt, ht, v_b, g, act,
             and (dropout is None or float(dropout[nl - 1]) == 0.0)):
         return decoder_pallas.decoder_prop(
             params, layers, n_local, v, jt, ht, v_b, g, act, dropout=dropout,
-            deterministic=deterministic, rng=rng)
+            deterministic=deterministic, rng=rng,
+            jctx_t=jctx_t, hctx_t=hctx_t)
     j = jnp.swapaxes(jt, -3, -2)
     h = jnp.swapaxes(ht, -3, -2)
+    jc = None if jctx_t is None else jnp.swapaxes(jctx_t, -3, -2)
+    hc = None if hctx_t is None else jnp.swapaxes(hctx_t, -3, -2)
     out, j, h = analytic.decoder_prop(
         params, layers, n_local, v, j, h, v_b, g, act, dropout=dropout,
-        last_activation=False, deterministic=deterministic, rng=rng)
+        last_activation=False, deterministic=deterministic, rng=rng,
+        j_ctx=jc, h_ctx=hc)
     return out, jnp.swapaxes(j, -1, -2), jnp.swapaxes(h, -1, -2)
 
 
@@ -215,14 +222,32 @@ def pipn_apply_with_derivatives(module: PipnModule):
     (see physics/analytic.py): forward + per-point J/H in one (1+2D)x-forward
     pass instead of nested autodiff. Returns
     ``fn(params, batch, rng, deterministic) -> (out_full, jac, lap)`` with the
-    engine's conventions (jac/lap shaped (..., Ni, O, D))."""
+    engine's conventions (jac/lap shaped (..., Ni, O, D)).
+
+    Max-pool coupling: the pooled global feature g depends on the
+    differentiated internal coordinates through each channel's argmax row, so
+    the TRUE per-point derivative at a winner row i includes the chain through
+    g: dg_c/dx_i = dq_c(x_i)/dx_i iff i = argmax_r q_c(x_r). This path
+    propagates (v, J, H) through the global-feature chain too, masks the
+    result to winner rows, and feeds it to the decoder as the context-block
+    input derivatives — the activation rules downstream then produce all
+    D_gg/D_lg cross terms of the exact per-point Jacobian/Hessian-diagonal.
+    (Training with the ctx treated as constant lets the optimizer hide field
+    error spikes at winner rows where the residual is blind — measured on the
+    golden duct: rel-L2 69% decoupled vs <5% coupled/exact.) Deviation from
+    the torch reference's grad-of-SUM semantics remains only in genuinely
+    cross-point terms (sum-aggregated sensitivities at winner rows), see
+    PARITY.md."""
     from porous_cfd_tpu.physics import analytic
 
     def fn(params, batch: FoamData, rng=None, deterministic: bool = True):
         internal_view, boundary_view = split_contiguous(batch)
         x_int = internal_view["C"]
         x_bnd = boundary_view["C"]
+        n_int = x_int.shape[-2]
         feats = jnp.concatenate([batch["boundaryId"], batch["sdf"]], axis=-1)
+        feats_i = feats[..., :n_int, :]
+        feats_b = feats[..., n_int:, :]
         act = module.activation
         fe = params["feature_extract"]
 
@@ -232,16 +257,34 @@ def pipn_apply_with_derivatives(module: PipnModule):
                                            x_int, j0, h0, act)
         lv_b = analytic.mlp_value(fe["local_feature"], module.fe_local_layers,
                                   x_bnd, act)
-        local_all = jnp.concatenate([lv_i, lv_b], axis=-2)
 
-        g_in = jnp.concatenate([local_all, feats], axis=-1)
-        g = _pointnet_global_dispatch(fe["global_feature"],
-                                      module.fe_global_layers, g_in, act)
+        # global-feature chain WITH derivatives on the internal rows (the
+        # extra feature columns are constant -> zero J/H seed)
+        zf = jnp.zeros((*lj.shape[:-1], feats_i.shape[-1]), lj.dtype)
+        gv_i, gjt, ght = analytic.mlp_prop_t(
+            fe["global_feature"], module.fe_global_layers,
+            jnp.concatenate([lv_i, feats_i], axis=-1),
+            jnp.concatenate([lj, zf], axis=-1),
+            jnp.concatenate([lh, zf], axis=-1), act)
+        gv_b = analytic.mlp_value(
+            fe["global_feature"], module.fe_global_layers,
+            jnp.concatenate([lv_b, feats_b], axis=-1), act)
+
+        gv = jnp.concatenate([gv_i, gv_b], axis=-2)
+        g = jnp.max(gv, axis=-2, keepdims=True)
+        winner = jnp.argmax(gv, axis=-2)                      # (..., F)
+        # winner mask over internal rows (boundary winners contribute no
+        # derivative); (..., Ni, F) -> broadcast over the leading D axis
+        mask = (winner[..., None, :]
+                == jnp.arange(n_int)[:, None]).astype(gjt.dtype)
+        jctx_t = gjt * mask[..., None, :, :]
+        hctx_t = ght * mask[..., None, :, :]
 
         return _decoder_prop_dispatch(
             params["decoder"], module.seg_layers, lv_i.shape[-1],
             lv_i, lj, lh, lv_b, g, act,
-            module.seg_dropout, deterministic, rng)
+            module.seg_dropout, deterministic, rng,
+            jctx_t=jctx_t, hctx_t=hctx_t)
 
     return fn
 

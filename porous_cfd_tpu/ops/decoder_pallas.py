@@ -106,10 +106,17 @@ def _masks_for_tile(cfg, shapes):
 
 
 class _Config:
-    """Static kernel configuration (hashable closure payload)."""
+    """Static kernel configuration (hashable closure payload).
+
+    ``ctx_width`` > 0 enables the max-pool-coupled mode: the J/H inputs carry
+    ``L0 + ctx_width`` channels (local block + pooled-context block, the
+    latter nonzero only at argmax-winner rows) and the first layer's kernel
+    ref is the FULL (L0 + ctx_width, F1) matrix — the value rows use its
+    local slice + the per-case ctx vector, the derivative rows use all of it.
+    """
 
     def __init__(self, widths, activation, dropout, deterministic,
-                 with_derivatives, n_tiles, n_cases):
+                 with_derivatives, n_tiles, n_cases, ctx_width=0):
         self.widths = tuple(widths)          # (L0, F1, ..., FL)
         self.n_layers = len(widths) - 1
         self.activation = activation
@@ -118,6 +125,7 @@ class _Config:
         self.with_derivatives = with_derivatives
         self.n_tiles = n_tiles
         self.n_cases = n_cases
+        self.ctx_width = ctx_width
 
     @property
     def has_dropout(self):
@@ -150,11 +158,12 @@ def _fwd_kernel(cfg: _Config, *refs):
         pltpu.prng_seed(seed_ref[0, 0] + b * cfg.n_tiles + t)
 
     v = xv_ref[0]                       # (T, L0)
-    j = xj_ref[0] if cfg.with_derivatives else None   # (D, T, L0)
+    j = xj_ref[0] if cfg.with_derivatives else None   # (D, T, L0[+G])
     h = xh_ref[0] if cfg.with_derivatives else None
     for i in range(nl):
         w = ws[i][...]
-        z = _dot(v, w) + (ctx_ref[0] if i == 0 else bs[i - 1][...])
+        wv = w[:cfg.widths[0]] if (i == 0 and cfg.ctx_width) else w
+        z = _dot(v, wv) + (ctx_ref[0] if i == 0 else bs[i - 1][...])
         if cfg.with_derivatives:
             zj, zh = _dot(j, w), _dot(h, w)
         if i < nl - 1:
@@ -227,10 +236,11 @@ def _bwd_kernel(cfg: _Config, *refs):
     zs, zjs, zhs, ms = [], [], [], {}
     for i in range(nl):
         w = ws[i][...]
+        wv = w[:cfg.widths[0]] if (i == 0 and cfg.ctx_width) else w
         a_in.append(a)
         aj_in.append(aj)
         ah_in.append(ah)
-        z = _dot(a, w) + (ctx_ref[0] if i == 0 else bs[i - 1][...])
+        z = _dot(a, wv) + (ctx_ref[0] if i == 0 else bs[i - 1][...])
         zj = _dot(aj, w) if wd else None
         zh = _dot(ah, w) if wd else None
         zs.append(z)
@@ -281,16 +291,28 @@ def _bwd_kernel(cfg: _Config, *refs):
                 gzj, gzh = gj, gh
 
         w = ws[i][...]
-        dw = _outer(a_in[i], gz)
-        if wd:
-            dw = dw + _outer(aj_in[i], gzj) + _outer(ah_in[i], gzh)
+        coupled0 = i == 0 and cfg.ctx_width
+        wv = w[:cfg.widths[0]] if coupled0 else w
+        if coupled0:
+            # value rows touch only the local block of the full first-layer
+            # kernel; J/H rows touch all of it (zero-pad the value part —
+            # Mosaic has no scatter-add)
+            dw_v = _outer(a_in[i], gz)
+            dw = (_outer(aj_in[i], gzj) + _outer(ah_in[i], gzh)
+                  + jnp.concatenate(
+                      [dw_v, jnp.zeros((cfg.ctx_width, dw_v.shape[-1]),
+                                       dw_v.dtype)], axis=0))
+        else:
+            dw = _outer(a_in[i], gz)
+            if wd:
+                dw = dw + _outer(aj_in[i], gzj) + _outer(ah_in[i], gzh)
         dws[i][...] += dw
         gb = jnp.sum(gz, axis=0, keepdims=True)
         if i == 0:
             dctx_ref[0] += gb
         else:
             dbs[i - 1][...] += gb
-        ga = _dot_t(gz, w)
+        ga = _dot_t(gz, wv)
         if wd:
             gj, gh = _dot_t(gzj, w), _dot_t(gzh, w)
 
@@ -313,9 +335,11 @@ def _specs(cfg: _Config, d_dims, tile, f_last, want_grads):
     smem = pl.BlockSpec((1, 1), lambda b, t: (0, 0),
                         memory_space=pltpu.SMEM)
     xv = pl.BlockSpec((1, tile, l0), lambda b, t: (b, t, 0))
-    xjh = pl.BlockSpec((1, d_dims, tile, l0), lambda b, t: (b, 0, t, 0))
+    xjh = pl.BlockSpec((1, d_dims, tile, l0 + cfg.ctx_width),
+                       lambda b, t: (b, 0, t, 0))
     ctx = pl.BlockSpec((1, 1, f1), lambda b, t: (b, 0, 0))
-    wspecs = [pl.BlockSpec((widths[i], widths[i + 1]), lambda b, t: (0, 0))
+    wspecs = [pl.BlockSpec((widths[i] + (cfg.ctx_width if i == 0 else 0),
+                            widths[i + 1]), lambda b, t: (0, 0))
               for i in range(nl)]
     bspecs = [pl.BlockSpec((1, widths[i + 1]), lambda b, t: (0, 0))
               for i in range(1, nl)]
@@ -337,7 +361,7 @@ def _specs(cfg: _Config, d_dims, tile, f_last, want_grads):
 
 @lru_cache(maxsize=None)
 def _build(widths, activation, dropout, deterministic, with_derivatives,
-           d_dims, n_pts, n_cases, tile, interpret):
+           d_dims, n_pts, n_cases, tile, interpret, ctx_width=0):
     """Compile-cached fused decoder for one static configuration.
 
     Returns fn(seed, xv, xj, xh, ctx, ws, bs) -> (v, j, h) with custom VJP
@@ -345,7 +369,7 @@ def _build(widths, activation, dropout, deterministic, with_derivatives,
     """
     n_tiles = n_pts // tile
     cfg = _Config(widths, activation, dropout, deterministic,
-                  with_derivatives, n_tiles, n_cases)
+                  with_derivatives, n_tiles, n_cases, ctx_width)
     nl = cfg.n_layers
     f_last = widths[-1]
     grid = (n_cases, n_tiles)
@@ -450,7 +474,8 @@ def _pad_pts(x, axis, mult):
 def decoder_prop(params: dict, layers, n_local: int, v, jt, ht, v_b, g,
                  activation, dropout=None, last_activation: bool = False,
                  deterministic: bool = True, rng=None,
-                 tile: int = TILE, interpret: bool | None = None):
+                 tile: int | None = None, interpret: bool | None = None,
+                 jctx_t=None, hctx_t=None):
     """Fused-kernel decoder propagation (internal (v,J,H) tiles + boundary
     value tiles).
 
@@ -460,6 +485,13 @@ def decoder_prop(params: dict, layers, n_local: int, v, jt, ht, v_b, g,
     Returns ``(v_merged (B, Ni+Nb, O), jac (B, Ni, O, D), lap (B, Ni, O, D))``
     — directly in the engine's convention (one transpose on the tiny outputs).
 
+    ``jctx_t``/``hctx_t`` (B, D, Ni, G) enable the max-pool-coupled mode
+    (see _Config): they are concatenated onto the J/H inputs and flow through
+    the context block of the full first-layer kernel, yielding the TRUE
+    per-point derivatives including the pooled-feature argmax coupling
+    (models/pipn.py). The point tile is halved in this mode to keep the
+    wider stashes VMEM-resident.
+
     ``last_activation`` must be False (the only mode the decoders use).
     """
     assert not last_activation, "fused decoder is last_activation=False only"
@@ -468,13 +500,18 @@ def decoder_prop(params: dict, layers, n_local: int, v, jt, ht, v_b, g,
     act = _activation_name(activation)
     nl = len(layers) - 1
     widths = (n_local,) + tuple(layers[1:])
+    coupled = jctx_t is not None
+    ctx_width = layers[0] - n_local if coupled else 0
+    if tile is None:
+        tile = TILE // 2 if coupled else TILE
 
     # first-layer split: per-case context contribution (tiny, stays in XLA —
     # its gradient flows through dctx)
     p0 = params["linear_0"]
     w0 = p0["kernel"]
     ctx = (g[..., 0, :] @ w0[n_local:] + p0["bias"]).astype(jnp.float32)[:, None, :]
-    ws = tuple([w0[:n_local].astype(jnp.float32)]
+    w0_first = (w0 if coupled else w0[:n_local]).astype(jnp.float32)
+    ws = tuple([w0_first]
                + [params[f"linear_{i}"]["kernel"].astype(jnp.float32)
                   for i in range(1, nl)])
     bs = tuple(params[f"linear_{i}"]["bias"][None, :].astype(jnp.float32)
@@ -492,11 +529,14 @@ def decoder_prop(params: dict, layers, n_local: int, v, jt, ht, v_b, g,
             else jnp.zeros((), jnp.int32)).reshape(1, 1)
 
     # internal rows: (v, J, H) kernel over the native (B, D, N, L) layout
+    if coupled:
+        jt = jnp.concatenate([jt, jctx_t], axis=-1)
+        ht = jnp.concatenate([ht, hctx_t], axis=-1)
     jp = _pad_pts(jt.astype(jnp.float32), 2, tile)
     hp = _pad_pts(ht.astype(jnp.float32), 2, tile)
     vp = _pad_pts(v.astype(jnp.float32), 1, tile)
     fn_int = _build(widths, act, drop, deterministic, True, d_dims,
-                    vp.shape[1], b_cases, tile, interpret)
+                    vp.shape[1], b_cases, tile, interpret, ctx_width)
     ov, oj, oh = fn_int(seed, vp, jp, hp, ctx, ws, bs)
     ov = ov[:, :n_int]
     # (B, D, Ni, O) -> engine convention (B, Ni, O, D) in one permutation
@@ -507,7 +547,8 @@ def decoder_prop(params: dict, layers, n_local: int, v, jt, ht, v_b, g,
         vbp = _pad_pts(v_b.astype(jnp.float32), 1, tile)
         fn_bnd = _build(widths, act, drop, deterministic, False, d_dims,
                         vbp.shape[1], b_cases, tile, interpret)
+        ws_bnd = (w0_first[:n_local], *ws[1:]) if coupled else ws
         ovb, _, _ = fn_bnd(seed + _BND_SEED_OFFSET, vbp, None, None, ctx,
-                           ws, bs)
+                           ws_bnd, bs)
         ov = jnp.concatenate([ov, ovb[:, :n_bnd]], axis=-2)
     return ov, oj, oh

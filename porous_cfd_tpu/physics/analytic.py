@@ -176,7 +176,8 @@ def mlp_prop_t(params: dict, layers: Sequence[int], v, jt, ht,
     return v, jt, ht
 
 
-def context_dense_prop(params: dict, n_local: int, v, j, h, v_b, g):
+def context_dense_prop(params: dict, n_local: int, v, j, h, v_b, g,
+                       j_ctx=None, h_ctx=None):
     """First dense layer of a decoder whose input is ``[local || context]``.
 
     The context block ``g`` (pooled geometry/branch embedding, shape
@@ -194,11 +195,23 @@ def context_dense_prop(params: dict, n_local: int, v, j, h, v_b, g):
     """
     w = params["kernel"]
     w_local = w[:n_local]
-    ctx = g @ w[n_local:] + params["bias"]  # (..., 1, F): once per case
+    w_ctx = w[n_local:]
+    ctx = g @ w_ctx + params["bias"]  # (..., 1, F): once per case
     v = v @ w_local + ctx
     if v_b is not None:
         v_b = v_b @ w_local + ctx
-    return v, j @ w_local, h @ w_local, v_b
+    j_out = j @ w_local
+    h_out = h @ w_local
+    # Max-pool argmax coupling (see decoder_prop): the context block's input
+    # derivatives are nonzero only at pooling-winner rows; when supplied they
+    # flow through the context kernel block here and the standard activation
+    # rules downstream produce the full true per-point (J, H) including the
+    # D_gg / D_lg cross terms.
+    if j_ctx is not None:
+        j_out = j_out + j_ctx @ w_ctx
+    if h_ctx is not None:
+        h_out = h_out + h_ctx @ w_ctx
+    return v, j_out, h_out, v_b
 
 
 def activation_prop_merged(act: Callable, v, j, h, n_int: int):
@@ -232,7 +245,8 @@ def decoder_prop(params: dict, layers: Sequence[int], n_local: int,
                  dropout: Optional[Sequence[float]] = None,
                  last_activation: bool = False,
                  deterministic: bool = True,
-                 rng=None):
+                 rng=None,
+                 j_ctx=None, h_ctx=None):
     """Fused decoder-stack propagation over ``[local || context]`` inputs.
 
     Combines three structural optimizations over a plain ``mlp_prop`` +
@@ -251,7 +265,7 @@ def decoder_prop(params: dict, layers: Sequence[int], n_local: int,
     """
     n_int = v.shape[-2]
     v, j, h, v_b = context_dense_prop(params["linear_0"], n_local, v, j, h,
-                                      v_b, g)
+                                      v_b, g, j_ctx, h_ctx)
     if v_b is not None:
         v = jnp.concatenate([v, v_b], axis=-2)
     n_out = len(layers) - 1

@@ -44,11 +44,55 @@ def test_activation_rules_numerics():
             d2, jax.vmap(jax.grad(jax.grad(act)))(v), atol=1e-5)
 
 
+def test_pipn_fast_path_matches_true_per_point_derivatives():
+    """The coupled fast path computes the TRUE per-point derivatives —
+    including the max-pool argmax coupling through the global feature — and
+    must match brute-force per-point autodiff (diagonal blocks of the full
+    Jacobian/Hessian) to machine precision at EVERY row, winners included."""
+    batch = make_foam_batch(1, 24, 8, 4, seed=7)
+    module = PipnModule([2, 12, 12], [12 + 5, 12, 16], [28, 12, 3],
+                        activation=nn.silu)
+    pts = jnp.concatenate([batch["internal"]["C"], batch["boundary"]["C"]], -2)
+    params = module.init({"params": jax.random.PRNGKey(2)}, pts, batch,
+                         deterministic=True)["params"]
+    fast = pipn_apply_with_derivatives(module)
+    out_f, jac_f, lap_f = fast(params, batch, None, True)
+
+    x_int = batch["internal"]["C"][0]
+    x_bnd = batch["boundary"]["C"][0]
+
+    def per_rows(pi):
+        allp = jnp.concatenate([pi[None], x_bnd[None]], axis=-2)
+        return module.apply({"params": params}, allp, batch,
+                            deterministic=True)[0]
+
+    jac_full = jax.jacrev(per_rows)(x_int)               # (Nall, O, Ni, D)
+    hes_full = jax.jacfwd(jax.jacrev(per_rows))(x_int)   # (..., Ni, D, Ni, D)
+    n_int, dims = x_int.shape
+    true_j = np.stack([np.asarray(jac_full[i, :, i, :])
+                       for i in range(n_int)])
+    true_h = np.stack([np.stack([np.asarray(hes_full[i, :, i, k, i, k])
+                                 for k in range(dims)], axis=-1)
+                       for i in range(n_int)])
+    # ensure the coupling is actually exercised: internal rows win channels
+    feats = jnp.concatenate([batch["boundaryId"], batch["sdf"]], -1)
+    local = analytic.mlp_value(params["feature_extract"]["local_feature"],
+                               [2, 12, 12], pts[0], nn.silu)
+    gv = analytic.mlp_value(params["feature_extract"]["global_feature"],
+                            [12 + 5, 12, 16],
+                            jnp.concatenate([local, feats[0]], -1), nn.silu)
+    assert int(jnp.sum(jnp.argmax(gv, axis=-2) < n_int)) >= 1
+    np.testing.assert_allclose(np.asarray(jac_f[0]), true_j, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lap_f[0]), true_h, atol=1e-4)
+
+
 def test_pipn_fast_path_matches_autodiff_off_argmax():
-    """The fast path's Jacobian equals the exact operator except at max-pool
-    argmax rows (where torch-style autodiff adds cross-point couplings); the
-    Laplacian additionally differs by a small mixed-derivative term
-    d2out_m/dx_m dx_argmax present at every row under torch semantics."""
+    """Vs the exact grad-of-SUM operator (reference torch semantics): the
+    fast path's Jacobian agrees exactly away from max-pool argmax rows; AT
+    winner rows the two differ by genuinely cross-point terms (sum-aggregated
+    context sensitivity vs the true per-point self term). The Laplacian
+    carries small mixed-derivative contamination at every row under the
+    grad-of-sum semantics."""
     batch = make_foam_batch(2, 48, 16, 8, seed=3)
     module = PipnModule([2, 16, 16], [16 + 5, 16, 24], [40, 16, 3],
                         activation=nn.silu)

@@ -164,3 +164,60 @@ def test_dropout_statistics_and_grad_consistency():
     fd = (float(scalar(pp)) - float(scalar(params))) / eps
     ad = float(gr["linear_1"]["bias"][0])
     assert abs(fd - ad) < 5e-2 * max(1.0, abs(ad))
+
+
+def test_coupled_context_mode():
+    """Max-pool-coupled mode: J/H inputs extended with context-block
+    derivatives (nonzero at winner rows) must match the extended
+    analytic.decoder_prop for outputs AND gradients (including the ctx-block
+    slice of the first-layer weight gradient)."""
+    act = nn.silu
+    params = make_params()
+    v, j, h, v_b, g = make_inputs(b=2, ni=24, nb=8)
+    rng = np.random.default_rng(5)
+    G = LAYERS[0] - N_LOCAL
+    # sparse winner-style ctx derivatives: a few nonzero rows
+    jc = np.zeros((2, 24, 2, G), np.float32)
+    hc = np.zeros((2, 24, 2, G), np.float32)
+    rows = rng.integers(0, 24, size=6)
+    jc[:, rows] = rng.normal(size=(2, 6, 2, G)).astype(np.float32) * 0.3
+    hc[:, rows] = rng.normal(size=(2, 6, 2, G)).astype(np.float32) * 0.3
+    jc, hc = jnp.asarray(jc), jnp.asarray(hc)
+
+    ref = to_engine(analytic.decoder_prop(params, LAYERS, N_LOCAL, v, j, h,
+                                          v_b, g, act, j_ctx=jc, h_ctx=hc))
+    out = decoder_pallas.decoder_prop(params, LAYERS, N_LOCAL, v, tr(j),
+                                      tr(h), v_b, g, act, tile=8,
+                                      interpret=True, jctx_t=tr(jc),
+                                      hctx_t=tr(hc))
+    for r, o, name in zip(ref, out, ("v", "jac", "lap")):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=2e-5,
+                                   err_msg=f"component {name}")
+
+    def loss(fn, p, inputs, transposed=False, **kw):
+        vv, jj, hh, vb, gg, jcc, hcc = inputs
+        if transposed:
+            ov, oj, oh = fn(p, LAYERS, N_LOCAL, vv, tr(jj), tr(hh), vb, gg,
+                            act, jctx_t=tr(jcc), hctx_t=tr(hcc), **kw)
+        else:
+            ov, oj, oh = fn(p, LAYERS, N_LOCAL, vv, jj, hh, vb, gg, act,
+                            j_ctx=jcc, h_ctx=hcc, **kw)
+            oj, oh = jnp.swapaxes(oj, -1, -2), jnp.swapaxes(oh, -1, -2)
+        return (jnp.sum(ov ** 2) + 2.0 * jnp.sum(jnp.sin(oj))
+                + 0.5 * jnp.sum(oh ** 2))
+
+    inputs = (v, j, h, v_b, g, jc, hc)
+    ref_val, ref_grads = jax.value_and_grad(
+        lambda p, i: loss(analytic.decoder_prop, p, i), argnums=(0, 1))(
+        params, inputs)
+    pl_val, pl_grads = jax.value_and_grad(
+        lambda p, i: loss(decoder_pallas.decoder_prop, p, i, transposed=True,
+                          tile=8, interpret=True), argnums=(0, 1))(
+        params, inputs)
+    np.testing.assert_allclose(float(pl_val), float(ref_val), rtol=1e-5)
+    flat_r, _ = jax.tree_util.tree_flatten(ref_grads)
+    flat_p, _ = jax.tree_util.tree_flatten(pl_grads)
+    assert len(flat_r) == len(flat_p)
+    for r, p in zip(flat_r, flat_p):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(r), atol=5e-4,
+                                   rtol=1e-3)
