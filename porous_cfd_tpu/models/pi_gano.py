@@ -234,6 +234,9 @@ def _trunk_prop_dispatch(params, module, lv_fn, lv_b, geom, par, x_int, act,
 
     if not (neural_op_pallas.on_tpu() and neural_op_pallas.supported(act)):
         return None
+    n_feat = geom.shape[-1] + module.local_layers[-1]
+    if par.shape[-1] != n_feat:  # trunk width must equal the branch width
+        return None
     lv, ljt, lht = lv_fn(transposed=True)
     return neural_op_pallas.neural_ops_prop(
         params["neural_ops"], module.n_operators, lv.shape[-1], lv, ljt, lht,

@@ -35,6 +35,10 @@ from porous_cfd_tpu.physics.losses import (ContinuityLoss,
                                            MomentumLossFixed,
                                            MomentumLossManufactured)
 
+# test hook: exercise the winner-gather coupled path (interpret-mode kernels)
+# off-TPU
+FORCE_WINNER_GATHER = False
+
 
 class PipnModule(nn.Module):
     """Classic PIPN forward (pipn_foam.py:87-100): features = [boundaryId||sdf],
@@ -258,6 +262,27 @@ def pipn_apply_with_derivatives(module: PipnModule):
         lv_b = analytic.mlp_value(fe["local_feature"], module.fe_local_layers,
                                   x_bnd, act)
 
+        # fused-kernel route: pointnet kernel for (g, argmax), winner-row
+        # gathering for the coupled context terms, decoder kernel with
+        # additive layer-0 J/H — avoids materializing any (B, D, N, F_global)
+        # tensor in HBM
+        from porous_cfd_tpu.ops import decoder_pallas
+        nl_seg = len(module.seg_layers) - 1
+        if ((decoder_pallas.on_tpu() or FORCE_WINNER_GATHER)
+                and decoder_pallas.supported(act)
+                and (module.seg_dropout is None
+                     or float(module.seg_dropout[nl_seg - 1]) == 0.0)):
+            w0 = params["decoder"]["linear_0"]["kernel"]
+            n_local = lv_i.shape[-1]
+            g, zj0, zh0 = _winner_gather_ctx(
+                fe, module, lv_i, lj, lh, lv_b, feats_i, feats_b,
+                w0[n_local:], act)
+            return decoder_pallas.decoder_prop(
+                params["decoder"], module.seg_layers, n_local, lv_i, lj, lh,
+                lv_b, g, act, dropout=module.seg_dropout,
+                deterministic=deterministic, rng=rng,
+                j0_add=zj0, h0_add=zh0)
+
         # global-feature chain WITH derivatives on the internal rows (the
         # extra feature columns are constant -> zero J/H seed)
         zf = jnp.zeros((*lj.shape[:-1], feats_i.shape[-1]), lj.dtype)
@@ -287,6 +312,70 @@ def pipn_apply_with_derivatives(module: PipnModule):
             jctx_t=jctx_t, hctx_t=hctx_t)
 
     return fn
+
+
+def _winner_gather_ctx(fe, module, lv_i, lj, lh, lv_b, feats_i, feats_b,
+                       w0g, act):
+    """Max-pool-coupled context terms via winner gathering.
+
+    The dense formulation materializes (B, D, N, F_global) context J/H
+    tensors that are zero everywhere except at pooling-winner rows. Here the
+    fused pointnet kernel returns (g, argmax); ONLY the F winner rows' local
+    chains are gathered (one-hot matmuls — MXU-friendly, no TPU gathers) and
+    propagated through the global-feature chain, where the last layer is
+    contracted directly to each winner's own channel (a (K,) dot per channel
+    instead of the full (K, F) matmul). The layer-0 additive terms
+    ``zj0/zh0 = (mask ⊙ Jfe) @ W0g`` are then assembled with one einsum and
+    fed to the decoder kernel, which adds them to the first layer's
+    pre-activation J/H — mathematically identical to the dense path
+    (tests/test_analytic.py::test_winner_gather_matches_dense).
+
+    Returns (g, zj0_add, zh0_add) with the add terms shaped (B, D, Ni, F1).
+    """
+    from porous_cfd_tpu.ops import pointnet_pallas
+    from porous_cfd_tpu.physics import analytic
+
+    layers = list(module.fe_global_layers)
+    params = fe["global_feature"]
+    g_in = jnp.concatenate([
+        jnp.concatenate([lv_i, feats_i], -1),
+        jnp.concatenate([lv_b, feats_b], -1)], axis=-2)
+    g, amax = pointnet_pallas.pointnet_global(params, layers, g_in, act,
+                                              return_argmax=True)
+    winner = amax[..., 0, :]                          # (B, F)
+    n_int = lv_i.shape[-2]
+    internal_mask = (winner < n_int).astype(lv_i.dtype)
+    w_safe = jnp.minimum(winner, n_int - 1)
+
+    onehot = jax.nn.one_hot(w_safe, n_int, dtype=lv_i.dtype)   # (B, F, Ni)
+    sel_v = jnp.einsum("bfn,bnl->bfl", onehot, lv_i)
+    sel_j = jnp.einsum("bfn,bdnl->bdfl", onehot, lj)
+    sel_h = jnp.einsum("bfn,bdnl->bdfl", onehot, lh)
+    sel_f = jnp.einsum("bfn,bnl->bfl", onehot, feats_i)
+    zf = jnp.zeros((*sel_j.shape[:-1], sel_f.shape[-1]), sel_j.dtype)
+
+    # chain through all but the last dense layer (every layer activated)
+    nl = len(layers) - 1
+    head = {f"linear_{i}": params[f"linear_{i}"] for i in range(nl - 1)}
+    qv, qj, qh = analytic.mlp_prop_t(
+        head, layers[:-1],
+        jnp.concatenate([sel_v, sel_f], -1),
+        jnp.concatenate([sel_j, zf], -1),
+        jnp.concatenate([sel_h, zf], -1), act)
+    # last dense, contracted to each winner row's OWN channel + activation
+    wl = params[f"linear_{nl - 1}"]["kernel"]          # (K, F)
+    bl = params[f"linear_{nl - 1}"]["bias"]
+    zv = jnp.einsum("bfk,kf->bf", qv, wl) + bl
+    zjw = jnp.einsum("bdfk,kf->bdf", qj, wl)
+    zhw = jnp.einsum("bdfk,kf->bdf", qh, wl)
+    rules = analytic.ACTIVATION_RULES[act]
+    _, d1, d2 = rules(zv)
+    hw = (d2[:, None] * zjw * zjw + d1[:, None] * zhw) * internal_mask[:, None]
+    jw = d1[:, None] * zjw * internal_mask[:, None]
+
+    zj0 = jnp.einsum("bfn,bdf,fo->bdno", onehot, jw, w0g)
+    zh0 = jnp.einsum("bfn,bdf,fo->bdno", onehot, hw, w0g)
+    return g, zj0, zh0
 
 
 def pipn_pp_apply_with_derivatives(module):

@@ -116,7 +116,8 @@ class _Config:
     """
 
     def __init__(self, widths, activation, dropout, deterministic,
-                 with_derivatives, n_tiles, n_cases, ctx_width=0):
+                 with_derivatives, n_tiles, n_cases, ctx_width=0,
+                 with_j0_add=False):
         self.widths = tuple(widths)          # (L0, F1, ..., FL)
         self.n_layers = len(widths) - 1
         self.activation = activation
@@ -126,6 +127,10 @@ class _Config:
         self.n_tiles = n_tiles
         self.n_cases = n_cases
         self.ctx_width = ctx_width
+        # additive layer-0 J/H terms (B, D, N, F1): the max-pool-coupled
+        # contribution precontracted with the context kernel block outside
+        # the kernel (winner-gather path, models/pipn.py)
+        self.with_j0_add = with_j0_add
 
     @property
     def has_dropout(self):
@@ -146,6 +151,8 @@ def _fwd_kernel(cfg: _Config, *refs):
     xv_ref = next(it)
     if cfg.with_derivatives:
         xj_ref, xh_ref = next(it), next(it)
+        if cfg.with_j0_add:
+            ja_ref, ha_ref = next(it), next(it)
     ctx_ref = next(it)
     ws = [next(it) for _ in range(nl)]
     bs = [next(it) for _ in range(nl - 1)]
@@ -166,6 +173,9 @@ def _fwd_kernel(cfg: _Config, *refs):
         z = _dot(v, wv) + (ctx_ref[0] if i == 0 else bs[i - 1][...])
         if cfg.with_derivatives:
             zj, zh = _dot(j, w), _dot(h, w)
+            if i == 0 and cfg.with_j0_add:
+                zj = zj + ja_ref[0]
+                zh = zh + ha_ref[0]
         if i < nl - 1:
             val, d1, d2, _ = rules(z)
             v = val
@@ -201,6 +211,8 @@ def _bwd_kernel(cfg: _Config, *refs):
     xv_ref = next(it)
     if wd:
         xj_ref, xh_ref = next(it), next(it)
+        if cfg.with_j0_add:
+            ja_ref, ha_ref = next(it), next(it)
     ctx_ref = next(it)
     ws = [next(it) for _ in range(nl)]
     bs = [next(it) for _ in range(nl - 1)]
@@ -211,6 +223,8 @@ def _bwd_kernel(cfg: _Config, *refs):
     dxv_ref = next(it)
     if wd:
         dxj_ref, dxh_ref = next(it), next(it)
+        if cfg.with_j0_add:
+            dja_ref, dha_ref = next(it), next(it)
     dctx_ref = next(it)
     dws = [next(it) for _ in range(nl)]
     dbs = [next(it) for _ in range(nl - 1)]
@@ -243,6 +257,9 @@ def _bwd_kernel(cfg: _Config, *refs):
         z = _dot(a, wv) + (ctx_ref[0] if i == 0 else bs[i - 1][...])
         zj = _dot(aj, w) if wd else None
         zh = _dot(ah, w) if wd else None
+        if wd and i == 0 and cfg.with_j0_add:
+            zj = zj + ja_ref[0]
+            zh = zh + ha_ref[0]
         zs.append(z)
         zjs.append(zj)
         zhs.append(zh)
@@ -312,6 +329,9 @@ def _bwd_kernel(cfg: _Config, *refs):
             dctx_ref[0] += gb
         else:
             dbs[i - 1][...] += gb
+        if wd and i == 0 and cfg.with_j0_add:
+            dja_ref[0] = gzj
+            dha_ref[0] = gzh
         ga = _dot_t(gz, wv)
         if wd:
             gj, gh = _dot_t(gzj, w), _dot_t(gzh, w)
@@ -345,23 +365,25 @@ def _specs(cfg: _Config, d_dims, tile, f_last, want_grads):
               for i in range(1, nl)]
     ov = pl.BlockSpec((1, tile, f_last), lambda b, t: (b, t, 0))
     ojh = pl.BlockSpec((1, d_dims, tile, f_last), lambda b, t: (b, 0, t, 0))
+    j0a = pl.BlockSpec((1, d_dims, tile, f1), lambda b, t: (b, 0, t, 0))
 
-    in_specs = [smem, xv] + ([xjh, xjh] if cfg.with_derivatives else []) \
-        + [ctx] + wspecs + bspecs
+    deriv_in = ([xjh, xjh] + ([j0a, j0a] if cfg.with_j0_add else [])
+                if cfg.with_derivatives else [])
+    in_specs = [smem, xv] + deriv_in + [ctx] + wspecs + bspecs
     if not want_grads:
         out_specs = [ov] + ([ojh, ojh] if cfg.with_derivatives else [])
         return in_specs, out_specs
     # bwd: inputs additionally carry the output cotangents; outputs are input
     # cotangents + revisited gradient accumulators
     in_specs = in_specs + [ov] + ([ojh, ojh] if cfg.with_derivatives else [])
-    out_specs = [xv] + ([xjh, xjh] if cfg.with_derivatives else []) \
-        + [ctx] + wspecs + bspecs
+    out_specs = [xv] + deriv_in + [ctx] + wspecs + bspecs
     return in_specs, out_specs
 
 
 @lru_cache(maxsize=None)
 def _build(widths, activation, dropout, deterministic, with_derivatives,
-           d_dims, n_pts, n_cases, tile, interpret, ctx_width=0):
+           d_dims, n_pts, n_cases, tile, interpret, ctx_width=0,
+           with_j0_add=False):
     """Compile-cached fused decoder for one static configuration.
 
     Returns fn(seed, xv, xj, xh, ctx, ws, bs) -> (v, j, h) with custom VJP
@@ -369,14 +391,16 @@ def _build(widths, activation, dropout, deterministic, with_derivatives,
     """
     n_tiles = n_pts // tile
     cfg = _Config(widths, activation, dropout, deterministic,
-                  with_derivatives, n_tiles, n_cases, ctx_width)
+                  with_derivatives, n_tiles, n_cases, ctx_width, with_j0_add)
     nl = cfg.n_layers
     f_last = widths[-1]
     grid = (n_cases, n_tiles)
 
-    def flat(seed, xv, xj, xh, ctx, ws, bs):
-        args = [seed, xv] + ([xj, xh] if with_derivatives else []) + [ctx] \
-            + list(ws) + list(bs)
+    def flat(seed, xv, xj, xh, ja, ha, ctx, ws, bs):
+        args = ([seed, xv]
+                + ([xj, xh] + ([ja, ha] if with_j0_add else [])
+                   if with_derivatives else [])
+                + [ctx] + list(ws) + list(bs))
         in_specs, out_specs = _specs(cfg, d_dims, tile, f_last, False)
         out_shape = [jax.ShapeDtypeStruct((n_cases, n_pts, f_last),
                                           jnp.float32)]
@@ -391,15 +415,15 @@ def _build(widths, activation, dropout, deterministic, with_derivatives,
         return res if with_derivatives else (res[0], None, None)
 
     @jax.custom_vjp
-    def fn(seed, xv, xj, xh, ctx, ws, bs):
-        return flat(seed, xv, xj, xh, ctx, ws, bs)
+    def fn(seed, xv, xj, xh, ja, ha, ctx, ws, bs):
+        return flat(seed, xv, xj, xh, ja, ha, ctx, ws, bs)
 
-    def fn_fwd(seed, xv, xj, xh, ctx, ws, bs):
-        return flat(seed, xv, xj, xh, ctx, ws, bs), \
-            (seed, xv, xj, xh, ctx, ws, bs)
+    def fn_fwd(seed, xv, xj, xh, ja, ha, ctx, ws, bs):
+        return flat(seed, xv, xj, xh, ja, ha, ctx, ws, bs), \
+            (seed, xv, xj, xh, ja, ha, ctx, ws, bs)
 
     def fn_bwd(saved, g):
-        seed, xv, xj, xh, ctx, ws, bs = saved
+        seed, xv, xj, xh, ja, ha, ctx, ws, bs = saved
         gv, gj, gh = g
         if gv is None:
             gv = jnp.zeros((n_cases, n_pts, f_last), jnp.float32)
@@ -407,13 +431,17 @@ def _build(widths, activation, dropout, deterministic, with_derivatives,
             zero_jh = jnp.zeros((n_cases, d_dims, n_pts, f_last), jnp.float32)
             gj = zero_jh if gj is None else gj
             gh = zero_jh if gh is None else gh
-        args = [seed, xv] + ([xj, xh] if with_derivatives else []) + [ctx] \
-            + list(ws) + list(bs) + [gv] \
-            + ([gj, gh] if with_derivatives else [])
+        args = ([seed, xv]
+                + ([xj, xh] + ([ja, ha] if with_j0_add else [])
+                   if with_derivatives else [])
+                + [ctx] + list(ws) + list(bs) + [gv]
+                + ([gj, gh] if with_derivatives else []))
         in_specs, out_specs = _specs(cfg, d_dims, tile, f_last, True)
         out_shape = [jax.ShapeDtypeStruct(xv.shape, jnp.float32)]
         if with_derivatives:
             out_shape += [jax.ShapeDtypeStruct(xj.shape, jnp.float32)] * 2
+            if with_j0_add:
+                out_shape += [jax.ShapeDtypeStruct(ja.shape, jnp.float32)] * 2
         out_shape += [jax.ShapeDtypeStruct(ctx.shape, jnp.float32)]
         out_shape += [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
         out_shape += [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs]
@@ -424,13 +452,15 @@ def _build(widths, activation, dropout, deterministic, with_derivatives,
         )(*args)
         k = 0
         dxv = res[k]; k += 1
-        dxj = dxh = None
+        dxj = dxh = dja = dha = None
         if with_derivatives:
             dxj, dxh = res[k], res[k + 1]; k += 2
+            if with_j0_add:
+                dja, dha = res[k], res[k + 1]; k += 2
         dctx = res[k]; k += 1
         dws = tuple(res[k:k + nl]); k += nl
         dbs = tuple(res[k:k + nl - 1])
-        return (None, dxv, dxj, dxh, dctx, dws, dbs)
+        return (None, dxv, dxj, dxh, dja, dha, dctx, dws, dbs)
 
     fn.defvjp(fn_fwd, fn_bwd)
     return fn
@@ -475,7 +505,7 @@ def decoder_prop(params: dict, layers, n_local: int, v, jt, ht, v_b, g,
                  activation, dropout=None, last_activation: bool = False,
                  deterministic: bool = True, rng=None,
                  tile: int | None = None, interpret: bool | None = None,
-                 jctx_t=None, hctx_t=None):
+                 jctx_t=None, hctx_t=None, j0_add=None, h0_add=None):
     """Fused-kernel decoder propagation (internal (v,J,H) tiles + boundary
     value tiles).
 
@@ -501,6 +531,8 @@ def decoder_prop(params: dict, layers, n_local: int, v, jt, ht, v_b, g,
     nl = len(layers) - 1
     widths = (n_local,) + tuple(layers[1:])
     coupled = jctx_t is not None
+    with_j0_add = j0_add is not None
+    assert not (coupled and with_j0_add)
     ctx_width = layers[0] - n_local if coupled else 0
     if tile is None:
         tile = TILE // 2 if coupled else TILE
@@ -535,9 +567,14 @@ def decoder_prop(params: dict, layers, n_local: int, v, jt, ht, v_b, g,
     jp = _pad_pts(jt.astype(jnp.float32), 2, tile)
     hp = _pad_pts(ht.astype(jnp.float32), 2, tile)
     vp = _pad_pts(v.astype(jnp.float32), 1, tile)
+    jap = hap = None
+    if with_j0_add:
+        jap = _pad_pts(j0_add.astype(jnp.float32), 2, tile)
+        hap = _pad_pts(h0_add.astype(jnp.float32), 2, tile)
     fn_int = _build(widths, act, drop, deterministic, True, d_dims,
-                    vp.shape[1], b_cases, tile, interpret, ctx_width)
-    ov, oj, oh = fn_int(seed, vp, jp, hp, ctx, ws, bs)
+                    vp.shape[1], b_cases, tile, interpret, ctx_width,
+                    with_j0_add)
+    ov, oj, oh = fn_int(seed, vp, jp, hp, jap, hap, ctx, ws, bs)
     ov = ov[:, :n_int]
     # (B, D, Ni, O) -> engine convention (B, Ni, O, D) in one permutation
     oj = jnp.transpose(oj[:, :, :n_int], (0, 2, 3, 1))
@@ -548,7 +585,7 @@ def decoder_prop(params: dict, layers, n_local: int, v, jt, ht, v_b, g,
         fn_bnd = _build(widths, act, drop, deterministic, False, d_dims,
                         vbp.shape[1], b_cases, tile, interpret)
         ws_bnd = (w0_first[:n_local], *ws[1:]) if coupled else ws
-        ovb, _, _ = fn_bnd(seed + _BND_SEED_OFFSET, vbp, None, None, ctx,
-                           ws_bnd, bs)
+        ovb, _, _ = fn_bnd(seed + _BND_SEED_OFFSET, vbp, None, None, None,
+                           None, ctx, ws_bnd, bs)
         ov = jnp.concatenate([ov, ovb[:, :n_bnd]], axis=-2)
     return ov, oj, oh

@@ -43,7 +43,8 @@ from porous_cfd_tpu.ops.decoder_pallas import (_RULES, _activation_name,
                                                _dot, _dot_t, _mask, _outer,
                                                _pad_pts, on_tpu)
 
-TILE = 128
+TILE = 64  # backward stashes (v,J,H) per layer: tile 128 overflows
+           # the 16M scoped-vmem budget at the 352-wide trunk
 _BND_SEED_OFFSET = 0x5BD1E995
 
 

@@ -133,14 +133,16 @@ def _build(widths, act_name, n_valid, n_pts, n_cases, tile, interpret):
 
     @jax.custom_vjp
     def fn(x, ws, bs):
-        return run_fwd(x, ws, bs)[0]
+        m, amax = run_fwd(x, ws, bs)
+        return m, jax.lax.stop_gradient(amax)
 
     def fn_fwd(x, ws, bs):
         m, amax = run_fwd(x, ws, bs)
-        return m, (x, ws, bs, amax)
+        return (m, jax.lax.stop_gradient(amax)), (x, ws, bs, amax)
 
-    def fn_bwd(saved, dm):
+    def fn_bwd(saved, dm_pair):
         x, ws, bs, amax = saved
+        dm = dm_pair[0]
         res = pl.pallas_call(
             partial(_bwd_kernel, cfg), grid=grid,
             in_specs=[x_spec] + w_specs + b_specs + [pooled, pooled],
@@ -159,11 +161,15 @@ def _build(widths, act_name, n_valid, n_pts, n_cases, tile, interpret):
 
 
 def pointnet_global(params: dict, layers, x, activation,
-                    tile: int = TILE, interpret: bool | None = None):
+                    tile: int = TILE, interpret: bool | None = None,
+                    return_argmax: bool = False):
     """Fused ``max over points of MLP(x)``: x (B, N, L0) -> (B, 1, F_last).
 
     ``params`` is an ``models.mlp.MLP`` parameter tree (``linear_i``); every
     layer is activated (the extractor's ``last_activation=True`` mode).
+    With ``return_argmax`` also returns the winning row index per channel
+    (B, 1, F_last) int32, non-differentiable — the max-pool-coupled
+    derivative path gathers the winners' chains from it.
     """
     if interpret is None:
         interpret = not on_tpu()
@@ -178,7 +184,8 @@ def pointnet_global(params: dict, layers, x, activation,
     xp = _pad_pts(x.astype(jnp.float32), 1, tile)
     fn = _build((x.shape[-1],) + tuple(layers[1:]), act, n, xp.shape[1],
                 b_cases, tile, interpret)
-    return fn(xp, ws, bs)
+    m, amax = fn(xp, ws, bs)
+    return (m, amax) if return_argmax else m
 
 
 def supported(activation) -> bool:

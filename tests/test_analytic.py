@@ -158,3 +158,43 @@ def test_fast_path_training_step():
 
     pred, extras = fns.predict_batch(state.params, batch, True)
     assert np.isfinite(np.asarray(extras.data)).all()
+
+
+def test_winner_gather_matches_dense_coupled_path():
+    """The winner-gather fused route (pointnet argmax + gathered global
+    chains + additive layer-0 terms) must equal the dense coupled analytic
+    path for outputs, J and H."""
+    import porous_cfd_tpu.models.pipn as pipn_mod
+
+    batch = make_foam_batch(2, 24, 8, 4, seed=9)
+    module = PipnModule([2, 12, 12], [12 + 5, 12, 16], [28, 12, 3],
+                        activation=nn.silu)
+    pts = jnp.concatenate([batch["internal"]["C"], batch["boundary"]["C"]], -2)
+    params = module.init({"params": jax.random.PRNGKey(4)}, pts, batch,
+                         deterministic=True)["params"]
+    fast = pipn_apply_with_derivatives(module)
+    dense = fast(params, batch, None, True)
+    pipn_mod.FORCE_WINNER_GATHER = True
+    try:
+        gathered = fast(params, batch, None, True)
+    finally:
+        pipn_mod.FORCE_WINNER_GATHER = False
+    for d, gt, name in zip(dense, gathered, ("v", "jac", "lap")):
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(d), atol=2e-5,
+                                   err_msg=f"component {name}")
+
+    # gradients agree too (one scalar loss through all three outputs)
+    def loss(p):
+        ov, oj, oh = fast(p, batch, None, True)
+        return jnp.sum(ov ** 2) + jnp.sum(oj ** 2) + 0.5 * jnp.sum(oh ** 2)
+
+    g_dense = jax.grad(loss)(params)
+    pipn_mod.FORCE_WINNER_GATHER = True
+    try:
+        g_gather = jax.grad(loss)(params)
+    finally:
+        pipn_mod.FORCE_WINNER_GATHER = False
+    for a, b in zip(jax.tree_util.tree_leaves(g_dense),
+                    jax.tree_util.tree_leaves(g_gather)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4,
+                                   rtol=1e-3)
