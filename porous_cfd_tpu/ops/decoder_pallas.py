@@ -88,9 +88,17 @@ def _outer(a, g):
 
 
 def _mask(shape, rate):
-    """Inverted-dropout mask from the in-kernel PRNG (seeded by caller)."""
+    """Inverted-dropout mask from the in-kernel PRNG (seeded by caller).
+
+    ``prng_random_bits`` yields int32 on TPU: the keep-threshold compare MUST
+    happen in uint32 — a signed compare wraps the threshold negative and
+    silently turns e.g. rate 0.05 into ~55% dropped (rate 0.5 into 100%).
+    Caught by the on-device mask-statistics test
+    (tests/test_decoder_pallas.py::test_dropout_statistics...)."""
     keep = 1.0 - rate
     bits = pltpu.prng_random_bits(shape)
+    if bits.dtype != jnp.uint32:
+        bits = pltpu.bitcast(bits, jnp.uint32)
     thresh = jnp.uint32(min(2 ** 32 - 1, int(keep * 2 ** 32)))
     return jnp.where(bits < thresh, jnp.float32(1.0 / keep), jnp.float32(0.0))
 
