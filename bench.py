@@ -52,7 +52,7 @@ def make_model(family: str):
         {"continuity": [1], "momentum": [1] * 2, "boundary": [1] * 3,
          "observations": [100] * 3})
     n_bid = 4
-    if family in ("pipn", "pipn_exact"):
+    if family in ("pipn", "pipn_exact", "pipn_decoupled"):
         # duct_fixed_boundary 'pipn' config (examples/duct_fixed_boundary/train.py)
         model = pipn_foam(
             nu=NU, d=D, f=F,
@@ -61,7 +61,8 @@ def make_model(family: str):
             seg_layers=[1024 + 64, 512, 256, 128, 3],
             seg_dropout=[0.05, 0.05, 0, 0],
             scalers=scalers,
-            fast_derivatives=(family == "pipn"))
+            fast_derivatives=(family != "pipn_exact"),
+            coupled_context=(family != "pipn_decoupled"))
         return model, fixed_scaler
     if family == "pipn_pp":
         model = pipn_foam_pp(
@@ -152,7 +153,8 @@ def main():
 
     families = {}
     if "--no-families" not in sys.argv:
-        for family in ("pipn_exact", "pipn_pp", "pi_gano"):
+        for family in ("pipn_decoupled", "pipn_exact", "pipn_pp",
+                       "pi_gano"):
             try:
                 families[family] = measure_family(family, dataset)
             except Exception as e:  # never let a family config sink the bench

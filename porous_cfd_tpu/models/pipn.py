@@ -221,27 +221,28 @@ def _pointnet_global_dispatch(params, layers, x, act):
     return jnp.max(g, axis=-2, keepdims=True)
 
 
-def pipn_apply_with_derivatives(module: PipnModule):
+def pipn_apply_with_derivatives(module: PipnModule, coupled: bool = True):
     """Build the analytic fast-path derivative function for a PipnModule
     (see physics/analytic.py): forward + per-point J/H in one (1+2D)x-forward
     pass instead of nested autodiff. Returns
     ``fn(params, batch, rng, deterministic) -> (out_full, jac, lap)`` with the
     engine's conventions (jac/lap shaped (..., Ni, O, D)).
 
-    Max-pool coupling: the pooled global feature g depends on the
-    differentiated internal coordinates through each channel's argmax row, so
-    the TRUE per-point derivative at a winner row i includes the chain through
-    g: dg_c/dx_i = dq_c(x_i)/dx_i iff i = argmax_r q_c(x_r). This path
-    propagates (v, J, H) through the global-feature chain too, masks the
-    result to winner rows, and feeds it to the decoder as the context-block
-    input derivatives — the activation rules downstream then produce all
-    D_gg/D_lg cross terms of the exact per-point Jacobian/Hessian-diagonal.
-    (Training with the ctx treated as constant lets the optimizer hide field
-    error spikes at winner rows where the residual is blind — measured on the
-    golden duct: rel-L2 69% decoupled vs <5% coupled/exact.) Deviation from
-    the torch reference's grad-of-SUM semantics remains only in genuinely
-    cross-point terms (sum-aggregated sensitivities at winner rows), see
-    PARITY.md."""
+    Max-pool coupling (``coupled=True``, default): the pooled global feature
+    g depends on the differentiated internal coordinates through each
+    channel's argmax row, so the TRUE per-point derivative at a winner row i
+    includes the chain through g: dg_c/dx_i = dq_c(x_i)/dx_i iff
+    i = argmax_r q_c(x_r). This path propagates (v, J, H) through the
+    global-feature chain at the winner rows and feeds the result to the
+    decoder as context-block input derivatives — the activation rules
+    downstream then produce all D_gg/D_lg cross terms of the exact per-point
+    Jacobian/Hessian-diagonal (verified against brute-force per-point
+    autodiff). ``coupled=False`` treats g as locally constant (~1.4x faster;
+    both settings reach the <5% CFD accuracy target on the golden duct,
+    CONVERGENCE.md, so this is a principled-exactness-vs-speed knob, not an
+    accuracy one). Deviation from the torch reference's grad-of-SUM
+    semantics remains only in genuinely cross-point terms (sum-aggregated
+    sensitivities at winner rows), see PARITY.md."""
     from porous_cfd_tpu.physics import analytic
 
     def fn(params, batch: FoamData, rng=None, deterministic: bool = True):
@@ -261,6 +262,16 @@ def pipn_apply_with_derivatives(module: PipnModule):
                                            x_int, j0, h0, act)
         lv_b = analytic.mlp_value(fe["local_feature"], module.fe_local_layers,
                                   x_bnd, act)
+
+        if not coupled:  # context-constant speed mode
+            local_all = jnp.concatenate([lv_i, lv_b], axis=-2)
+            g = _pointnet_global_dispatch(
+                fe["global_feature"], module.fe_global_layers,
+                jnp.concatenate([local_all, feats], axis=-1), act)
+            return _decoder_prop_dispatch(
+                params["decoder"], module.seg_layers, lv_i.shape[-1],
+                lv_i, lj, lh, lv_b, g, act,
+                module.seg_dropout, deterministic, rng)
 
         # fused-kernel route: pointnet kernel for (g, argmax), winner-row
         # gathering for the coupled context terms, decoder kernel with
@@ -462,7 +473,8 @@ def pipn_manufactured(nu: float, d: float, f: float,
                       seg_layers: Sequence[int],
                       activation: Activation = nn.tanh,
                       dtype: Any = None,
-                      fast_derivatives: bool = False) -> PinnModel:
+                      fast_derivatives: bool = False,
+                      coupled_context: bool = True) -> PinnModel:
     """Physics-only PIPN on raw coordinates (pipn_baseline.py:12-63).
     Note: the reference's feature extractor always uses Tanh here (its
     ``activation`` arg is only applied to the decoder, pipn_baseline.py:39-40);
@@ -476,7 +488,7 @@ def pipn_manufactured(nu: float, d: float, f: float,
         continuity_loss=ContinuityLoss(),
         enable_data_loss=False,
         learning_rate=1e-3, lr_gamma=0.9995, adam_eps=1e-6,
-        derivative_apply=(pipn_apply_with_derivatives(module)
+        derivative_apply=(pipn_apply_with_derivatives(module, coupled_context)
                           if fast_derivatives else None))
 
 
@@ -488,7 +500,8 @@ def pipn_foam(nu: float, d: float, f: float,
               seg_dropout: Optional[Sequence[float]] = None,
               activation: Activation = nn.silu,
               dtype: Any = None,
-              fast_derivatives: bool = False) -> PinnModel:
+              fast_derivatives: bool = False,
+              coupled_context: bool = True) -> PinnModel:
     """Data+physics PIPN with standardized features (pipn_foam.py:15-105)."""
     module = PipnModule(fe_local_layers, fe_global_layers, seg_layers,
                         seg_dropout, activation, dtype=dtype)
@@ -501,7 +514,7 @@ def pipn_foam(nu: float, d: float, f: float,
         enable_data_loss=True,
         u_scaler=u_s, p_scaler=p_s,
         learning_rate=1e-3, lr_gamma=0.999,
-        derivative_apply=(pipn_apply_with_derivatives(module)
+        derivative_apply=(pipn_apply_with_derivatives(module, coupled_context)
                           if fast_derivatives else None))
 
 

@@ -198,3 +198,35 @@ def test_winner_gather_matches_dense_coupled_path():
                     jax.tree_util.tree_leaves(g_gather)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4,
                                    rtol=1e-3)
+
+
+def test_decoupled_speed_mode():
+    """coupled_context=False: context treated as locally constant — agrees
+    with the coupled path everywhere EXCEPT max-pool winner rows, and with
+    the exact operator off-argmax."""
+    batch = make_foam_batch(1, 24, 8, 4, seed=12)
+    module = PipnModule([2, 12, 12], [12 + 5, 12, 16], [28, 12, 3],
+                        activation=nn.silu)
+    pts = jnp.concatenate([batch["internal"]["C"], batch["boundary"]["C"]], -2)
+    params = module.init({"params": jax.random.PRNGKey(6)}, pts, batch,
+                         deterministic=True)["params"]
+    coupled = pipn_apply_with_derivatives(module, coupled=True)(
+        params, batch, None, True)
+    fast = pipn_apply_with_derivatives(module, coupled=False)(
+        params, batch, None, True)
+    np.testing.assert_allclose(np.asarray(fast[0]), np.asarray(coupled[0]),
+                               atol=1e-5)  # values identical
+    feats = jnp.concatenate([batch["boundaryId"], batch["sdf"]], -1)
+    local = analytic.mlp_value(params["feature_extract"]["local_feature"],
+                               [2, 12, 12], pts[0], nn.silu)
+    gv = analytic.mlp_value(params["feature_extract"]["global_feature"],
+                            [12 + 5, 12, 16],
+                            jnp.concatenate([local, feats[0]], -1), nn.silu)
+    winners = set(np.asarray(jnp.argmax(gv, axis=-2)).tolist())
+    clean = [i for i in range(24) if i not in winners]
+    np.testing.assert_allclose(np.asarray(fast[1])[0, clean],
+                               np.asarray(coupled[1])[0, clean], atol=1e-5)
+    dirty = sorted(r for r in winners if r < 24)
+    if dirty:  # coupling actually differs at winner rows
+        assert np.abs(np.asarray(fast[1])[0, dirty]
+                      - np.asarray(coupled[1])[0, dirty]).max() > 1e-4
