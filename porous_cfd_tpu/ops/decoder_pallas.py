@@ -103,16 +103,6 @@ def _mask(shape, rate):
     return jnp.where(bits < thresh, jnp.float32(1.0 / keep), jnp.float32(0.0))
 
 
-def _masks_for_tile(cfg, shapes):
-    """All dropout masks for one tile, in layer order (fwd/bwd share the
-    stream: generation order is identical)."""
-    masks = {}
-    for i, rate in enumerate(cfg.dropout):
-        if rate > 0.0 and not cfg.deterministic and i < cfg.n_layers - 1:
-            masks[i] = _mask(shapes[i], rate)
-    return masks
-
-
 class _Config:
     """Static kernel configuration (hashable closure payload).
 
