@@ -28,7 +28,7 @@ import numpy as np
 
 from porous_cfd_tpu.datagen import mesh_filter, mesh_ops
 
-ABC_CHUNK_GDRIVE_ID = "1KPM2IvOa8YUUtt7yHfVA551xKat2Mdzx&confirm"
+ABC_CHUNK_GDRIVE_ID = "1KPM2IvOa8YUUtt7yHfVA551xKat2Mdzx"
 
 
 def download_from_gdrive(file_id: str, out_path: str):
@@ -38,8 +38,9 @@ def download_from_gdrive(file_id: str, out_path: str):
         print(f"{out_path} already downloaded! Remove it to download again.")
         return
     subprocess.run(
-        ["wget", "--no-check-certificate",
-         f"https://drive.usercontent.google.com/download?id={file_id}=t",
+        ["wget",
+         "https://drive.usercontent.google.com/download"
+         f"?id={file_id}&confirm=t",
          "-O", out_path],
         check=True, stdout=subprocess.PIPE, text=True)
 

@@ -51,39 +51,96 @@ def _rot(x, y, cx, cy, theta):
     return c * dx + s * dy, -s * dx + c * dy
 
 
-def shape_indicator(shape: str, cx: float, cy: float, size: float,
-                    theta: float = 0.0) -> Callable:
-    """Inside-test for a porous primitive. ``size`` is the half-extent."""
+def _regular_polygon(n: int, phase: float = 0.0) -> np.ndarray:
+    a = phase + 2 * np.pi * np.arange(n) / n
+    return np.stack([np.cos(a), np.sin(a)], axis=-1)
+
+
+def _star_polygon(n: int = 5, inner: float = 0.45) -> np.ndarray:
+    a = np.pi / 2 + np.pi * np.arange(2 * n) / n
+    r = np.where(np.arange(2 * n) % 2 == 0, 1.0, inner)
+    return np.stack([r * np.cos(a), r * np.sin(a)], axis=-1)
+
+
+def _point_in_polygon(px: np.ndarray, py: np.ndarray,
+                      verts: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd rule; works for the non-convex star too."""
+    x0, y0 = verts[:, 0], verts[:, 1]
+    x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
+    p, q = px[..., None], py[..., None]
+    crosses = ((y0 > q) != (y1 > q)) & (
+        p < (x1 - x0) * (q - y0) / np.where(y1 != y0, y1 - y0, 1e-300) + x0)
+    return np.sum(crosses, axis=-1) % 2 == 1
+
+
+# Unit-frame polygon vertices for the reference's primitive mesh zoo
+# (examples/duct_fixed_boundary/assets/meshes/standard/*.obj): regular
+# polygons at circumradius 1, a symmetric trapezoid, a 5-point star.
+_POLYGONS = {
+    "equilateral_triangle": _regular_polygon(3),
+    "equilateral_hexagon": _regular_polygon(6),
+    "equilateral_octagon": _regular_polygon(8, np.pi / 8),
+    "square": np.array([[1., 1.], [-1., 1.], [-1., -1.], [1., -1.]]),
+    "trapezoid": np.array([[1., -0.7], [0.5, 0.7], [-0.5, 0.7], [-1., -0.7]]),
+    "star": _star_polygon(),
+}
+
+
+# Inside-tests in the unit frame (|coords| pre-divided by the half-extent).
+def _unit_tests() -> dict[str, Callable]:
     def circle(x, y):
-        rx, ry = _rot(x, y, cx, cy, theta)
-        return rx * rx + ry * ry <= size * size
+        return x * x + y * y <= 1.0
+
+    def semi_circle(x, y):
+        return (x * x + y * y <= 1.0) & (y >= 0.0)
+
+    def circle_sector(x, y):
+        # 120-degree sector about +x
+        return ((x * x + y * y <= 1.0)
+                & (np.abs(np.arctan2(y, x)) <= np.pi / 3))
 
     def ellipse(x, y):
-        rx, ry = _rot(x, y, cx, cy, theta)
-        return (rx / size) ** 2 + (ry / (0.6 * size)) ** 2 <= 1.0
+        return x ** 2 + (y / 0.6) ** 2 <= 1.0
 
     def rectangle(x, y):
-        rx, ry = _rot(x, y, cx, cy, theta)
-        return (np.abs(rx) <= size) & (np.abs(ry) <= 0.7 * size)
+        return (np.abs(x) <= 1.0) & (np.abs(y) <= 0.7)
 
     def triangle(x, y):
-        rx, ry = _rot(x, y, cx, cy, theta)
-        # equilateral triangle of circumradius ``size`` pointing +x
-        return ((rx >= -0.5 * size)
-                & (ry <= (size - rx) / np.sqrt(3.0))
-                & (-ry <= (size - rx) / np.sqrt(3.0)))
+        # equilateral triangle of circumradius 1 pointing +x
+        return ((x >= -0.5)
+                & (y <= (1.0 - x) / np.sqrt(3.0))
+                & (-y <= (1.0 - x) / np.sqrt(3.0)))
 
     def rhombus(x, y):
-        rx, ry = _rot(x, y, cx, cy, theta)
-        return np.abs(rx) / size + np.abs(ry) / (0.7 * size) <= 1.0
+        return np.abs(x) + np.abs(y) / 0.7 <= 1.0
 
-    def band(x, y):
+    table = {"circle": circle, "semi_circle": semi_circle,
+             "circle_sector": circle_sector, "ellipse": ellipse,
+             "rectangle": rectangle, "triangle": triangle, "rhombus": rhombus}
+    for name, verts in _POLYGONS.items():
+        table[name] = (lambda v: lambda x, y: _point_in_polygon(x, y, v))(verts)
+    return table
+
+
+UNIT_SHAPES = _unit_tests()
+SHAPES = tuple(UNIT_SHAPES) + ("band",)
+
+
+def shape_indicator(shape: str, cx: float, cy: float, size: float,
+                    theta: float = 0.0, sx: float = 1.0,
+                    sy: float = 1.0) -> Callable:
+    """Inside-test for a porous primitive. ``size`` is the half-extent;
+    ``sx``/``sy`` are anisotropic scale multipliers applied in the shape
+    frame (the reference's transforms.json x/y scale grid)."""
+    if shape == "band":
         # full-height porous band (1D analytic validation case)
-        return np.abs(x - cx) <= size
+        return lambda x, y: np.abs(x - cx) <= size * sx
+    unit = UNIT_SHAPES[shape]
 
-    table = {"circle": circle, "ellipse": ellipse, "rectangle": rectangle,
-             "triangle": triangle, "rhombus": rhombus, "band": band}
-    return table[shape]
+    def inside(x, y):
+        rx, ry = _rot(x, y, cx, cy, theta)
+        return unit(rx / (size * sx), ry / (size * sy))
+    return inside
 
 
 # ---------------------------------------------------------------------------
@@ -147,20 +204,29 @@ def solve_duct(shape: str = "circle", cx: float = 0.1, cy: float = 0.0,
                size: float = 0.12, theta: float = 0.0,
                nx: int = 120, ny: int = 72,
                u_inlet: float = U_INLET, nu: float = NU,
-               d: float = DARCY_D, f: float = FORCH_F,
+               d=DARCY_D, f: float = FORCH_F,
                dt: float | None = None, max_steps: int = 20000,
-               tol: float = 1e-4, upwind: float = 0.1) -> DuctSolution:
+               tol: float = 1e-4, upwind: float = 0.1,
+               sx: float = 1.0, sy: float = 1.0,
+               v_inlet: float = 0.0) -> DuctSolution:
     """March the duct flow to steady state. Returns cell-centred fields.
 
     ``tol`` is on |du/dt|_inf normalized by the inlet speed — at 1e-4 the
     velocity field changes by less than 0.01% of U_inlet per second of
     pseudo-time.
+
+    ``sx``/``sy`` anisotropically scale the obstacle (transforms.json grid);
+    ``v_inlet`` gives the inlet velocity a y-component (the variable-boundary
+    experiments' inlet angle); ``d`` may be a scalar or an (dx, dy) pair (the
+    reference's anisotropic Darcy vector, e.g. config.json d=[12000,20000,0]).
     """
     (x0, x1), (y0, y1) = DOMAIN
     dx, dy = (x1 - x0) / nx, (y1 - y0) / ny
     xc = x0 + (np.arange(nx) + 0.5) * dx
     yc = y0 + (np.arange(ny) + 0.5) * dy
-    inside = shape_indicator(shape, cx, cy, size, theta)
+    inside = shape_indicator(shape, cx, cy, size, theta, sx, sy)
+    d_x, d_y = (float(d[0]), float(d[1])) if np.ndim(d) else (float(d),) * 2
+    speed = float(np.hypot(u_inlet, v_inlet))
 
     # staggered arrays: u on x-faces (nx+1, ny), v on y-faces (nx, ny+1)
     u = np.full((nx + 1, ny), u_inlet)
@@ -179,7 +245,7 @@ def solve_duct(shape: str = "circle", cx: float = 0.1, cy: float = 0.0,
     zone = mask(xc, yc)
 
     if dt is None:
-        dt = 0.4 * min(dx / max(u_inlet * 3.0, 1e-9), dx * dx / (4.0 * nu))
+        dt = 0.4 * min(dx / max(speed * 3.0, 1e-9), dx * dx / (4.0 * nu))
 
     A = _poisson_matrix(nx, ny, dx, dy)
     lu = spla.splu(A)
@@ -211,9 +277,10 @@ def solve_duct(shape: str = "circle", cx: float = 0.1, cy: float = 0.0,
 
     def convect_diffuse_v(u, v):
         """Same for interior v-faces (:, 1..ny-1)."""
-        # inlet fixes the full velocity vector -> v = 0 at the inlet face
-        # (Dirichlet ghost); outlet is zero-gradient
-        vg = np.concatenate([-v[:1, :], v, v[-1:, :]], axis=0)  # (nx+2, ny+1)
+        # inlet fixes the full velocity vector -> v = v_inlet at the inlet
+        # face (Dirichlet ghost); outlet is zero-gradient
+        vg = np.concatenate([2.0 * v_inlet - v[:1, :], v, v[-1:, :]],
+                            axis=0)  # (nx+2, ny+1)
         vc = 0.5 * (v[:, 1:] + v[:, :-1])     # v at cell centres (nx, ny)
         vv = vc * vc
         dvv = (vv[:, 1:] - vv[:, :-1]) / dy   # (nx, ny-1)
@@ -234,8 +301,8 @@ def solve_duct(shape: str = "circle", cx: float = 0.1, cy: float = 0.0,
         # velocity magnitude on faces for the Forchheimer term
         vmag_u = np.abs(u[1:-1, :])
         vmag_v = np.abs(v[:, 1:-1])
-        s_u = (nu * d + 0.5 * f * vmag_u) * su[1:-1, :]
-        s_v = (nu * d + 0.5 * f * vmag_v) * sv[:, 1:-1]
+        s_u = (nu * d_x + 0.5 * f * vmag_u) * su[1:-1, :]
+        s_v = (nu * d_y + 0.5 * f * vmag_v) * sv[:, 1:-1]
 
         rhs_u = convect_diffuse_u(u, v) - (p[1:, :] - p[:-1, :]) / dx
         rhs_v = convect_diffuse_v(u, v) - (p[:, 1:] - p[:, :-1]) / dy
@@ -266,8 +333,8 @@ def solve_duct(shape: str = "circle", cx: float = 0.1, cy: float = 0.0,
         # both fields must be stationary: u directly, p through its increment
         # (in quasi-1D cases the projection restores u instantly while p is
         # still accumulating toward the porous pressure drop)
-        p_scale = max(0.5 * u_inlet ** 2, float(np.max(np.abs(p))))
-        res = max(float(np.max(np.abs(u_new - u)) / (dt * u_inlet)),
+        p_scale = max(0.5 * speed ** 2, float(np.max(np.abs(p))))
+        res = max(float(np.max(np.abs(u_new - u)) / (dt * speed)),
                   float(np.max(np.abs(phi)) / (dt * p_scale)))
         u, v = u_new, v_new
         if res < tol:
@@ -278,7 +345,7 @@ def solve_duct(shape: str = "circle", cx: float = 0.1, cy: float = 0.0,
     vc = 0.5 * (v[:, 1:] + v[:, :-1])
     div_c = (u[1:, :] - u[:-1, :]) / dx + (v[:, 1:] - v[:, :-1]) / dy
 
-    moment_err = _momentum_residual(uc, vc, p, zone, dx, dy, nu, d, f)
+    moment_err = _momentum_residual(uc, vc, p, zone, dx, dy, nu, (d_x, d_y), f)
     return DuctSolution(xc, yc, uc, vc, p, zone, div_c, moment_err,
                         res, steps)
 
@@ -307,10 +374,12 @@ def _momentum_residual(u, v, p, zone, dx, dy, nu, d, f):
                          + (q[1:-1, 2:] - 2 * q[1:-1, 1:-1] + q[1:-1, :-2]) / dy ** 2)
         return l
 
+    d_x, d_y = (float(d[0]), float(d[1])) if np.ndim(d) else (float(d),) * 2
     vmag = np.sqrt(u * u + v * v)
-    sink = (nu * d + 0.5 * f * vmag) * zone
-    rx = u * grad_x(u) + v * grad_y(u) + grad_x(p) - nu * lap(u) + sink * u
-    ry = u * grad_x(v) + v * grad_y(v) + grad_y(p) - nu * lap(v) + sink * v
+    sink_x = (nu * d_x + 0.5 * f * vmag) * zone
+    sink_y = (nu * d_y + 0.5 * f * vmag) * zone
+    rx = u * grad_x(u) + v * grad_y(u) + grad_x(p) - nu * lap(u) + sink_x * u
+    ry = u * grad_x(v) + v * grad_y(v) + grad_y(p) - nu * lap(v) + sink_y * v
     return np.stack([rx, ry], axis=-1)
 
 
@@ -320,8 +389,9 @@ def _momentum_residual(u, v, p, zone, dx, dy, nu, d, f):
 def solution_to_case(sol: DuctSolution, case_dir: str | Path,
                      n_internal: int | None = None,
                      rng: np.random.Generator | None = None,
-                     d: float = DARCY_D, f: float = FORCH_F,
+                     d=DARCY_D, f: float = FORCH_F,
                      nu: float = NU, u_inlet: float = U_INLET,
+                     v_inlet: float = 0.0,
                      elapsed_ns: int = 10 ** 9) -> None:
     """Write a solved case in the on-disk layout the data pipeline consumes.
 
@@ -358,7 +428,7 @@ def solution_to_case(sol: DuctSolution, case_dir: str | Path,
                               np.stack([xc, np.full(nx, y1)], -1)])
     patches = {"inlet": inlet_c, "outlet": outlet_c, "walls": walls_c}
     patch_fields = {
-        "inlet": {"U": np.tile([[u_inlet, 0.0]], (ny, 1)),
+        "inlet": {"U": np.tile([[u_inlet, v_inlet]], (ny, 1)),
                   "p": sol.p[0, :],                      # zeroGradient
                   "momentError": np.zeros((ny, 2)),
                   "div(phi)": np.zeros(ny)},

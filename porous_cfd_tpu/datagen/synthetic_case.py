@@ -25,7 +25,7 @@ def write_case(case_dir: str | Path,
                patches: dict[str, np.ndarray],
                fields: dict[str, np.ndarray] | None = None,
                patch_fields: dict[str, dict[str, np.ndarray]] | None = None,
-               d: float = 14000.0, f: float = 17.11, nu: float = 1489.4e-6,
+               d=14000.0, f=17.11, nu: float = 1489.4e-6,
                time: int = 1000, elapsed_ns: int = 10 ** 9) -> None:
     """Write one case.
 
@@ -34,6 +34,8 @@ def write_case(case_dir: str | Path,
     :param patches: patch name -> face centres (M, D).
     :param fields: internal volume fields, name -> (N,) or (N, D).
     :param patch_fields: patch name -> {field: values} surface dumps.
+    :param d,f: Darcy/Forchheimer coefficients, scalar or 3-vector (the
+        reference's anisotropic fvOptions vectors, e.g. d = [12000, 20000, 0]).
     """
     case = Path(case_dir)
     if case.exists():
@@ -64,6 +66,13 @@ def write_case(case_dir: str | Path,
             foam_io.write_postprocess_field(
                 pdir / sub / fname, vals if vals.ndim == 1 else pad3(vals))
 
+    def coef3(v):
+        a = np.atleast_1d(np.asarray(v, np.float64))
+        vals = np.full(3, a[0]) if a.size == 1 else np.zeros(3)
+        if a.size > 1:
+            vals[:min(a.size, 3)] = a[:3]
+        return " ".join(repr(float(c)) for c in vals)
+
     fv = f"""FoamFile
 {{
     version     2.0;
@@ -80,8 +89,8 @@ porousFilter{{
         cellZone mesh;
         type DarcyForchheimer;
 
-        d   ({d} {d} {d});
-        f   ({f} {f} {f});
+        d   ({coef3(d)});
+        f   ({coef3(f)});
 
         coordinateSystem{{
             origin (0 0 0);

@@ -221,7 +221,7 @@ def _neural_ops_prop_ctx(params_prefix, n_operators, dropout, act,
     return v, j, h
 
 
-def _trunk_prop_dispatch(params, module, lv_fn, lv_b, geom, par, x_int, act,
+def _trunk_prop_dispatch(params, module, lv_fn, lv_b, geom, par, act,
                          deterministic, rng):
     """Points-encoder + NeuralOperator-trunk + reduction propagation:
     the fused Pallas kernel on TPU (ops/neural_op_pallas.py — every layer
@@ -283,8 +283,7 @@ def pi_gano_apply_with_derivatives(module: PiGanoModule):
                                   module.local_layers, x_bnd, act)
         if not module.full:
             fused = _trunk_prop_dispatch(params, module, local_chain, lv_b,
-                                         geom, par, x_int, act, deterministic,
-                                         rng)
+                                         geom, par, act, deterministic, rng)
             if fused is not None:
                 return fused
         lv, lj, lh = local_chain()
@@ -334,9 +333,17 @@ def pi_gano_pp_apply_with_derivatives(module: PiGanoPpModule):
         geom_in = jnp.concatenate([x_bnd, boundary_view["boundaryId"]],
                                   axis=-1)
         from porous_cfd_tpu.models.neighbors import extract_sa_neighbors
+        from porous_cfd_tpu.ops import sa_pallas
         nbrs = extract_sa_neighbors(batch.domain, len(module.geometry_radius))
-        geom = geom_enc.apply({"params": params["geometry_encoder"]},
-                              geom_in, x_bnd, deterministic, nbrs)
+        if sa_pallas.enabled(act, nbrs):
+            geom = sa_pallas.sa_seq_fused(
+                params["geometry_encoder"]["set_abstraction"],
+                module.geometry_fraction, module.geometry_radius,
+                module.geometry_layers, module.max_neighbors, act, geom_in,
+                x_bnd, nbrs)
+        else:
+            geom = geom_enc.apply({"params": params["geometry_encoder"]},
+                                  geom_in, x_bnd, deterministic, nbrs)
         from porous_cfd_tpu.models.pipn import _pointnet_global_dispatch
         par_features = gather_parameters(batch, module.variable_boundaries)
         par = _pointnet_global_dispatch(params["branch"]["linear"],
@@ -356,7 +363,7 @@ def pi_gano_pp_apply_with_derivatives(module: PiGanoPpModule):
         lv_b = analytic.mlp_value(params["points_encoder"],
                                   module.local_layers, x_bnd, act)
         fused = _trunk_prop_dispatch(params, module, local_chain, lv_b, geom,
-                                     par, x_int, act, deterministic, rng)
+                                     par, act, deterministic, rng)
         if fused is not None:
             return fused
         lv, lj, lh = local_chain()

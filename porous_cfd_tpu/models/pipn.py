@@ -434,13 +434,21 @@ def pipn_pp_apply_with_derivatives(module):
         x_bnd = boundary_view["C"]
         act = module.activation
         boundary = boundary_view
+        from porous_cfd_tpu.ops import sa_pallas
         if is_mrg:
             geom_in = jnp.concatenate([boundary["boundaryId"], boundary["C"]],
                                       axis=-1)
             from porous_cfd_tpu.models.neighbors import extract_sa_neighbors
             nbrs = extract_sa_neighbors(batch.domain, 2)
-            g = geom_seq.apply({"params": get_sub(params, geom_params_key)},
-                               geom_in, x_bnd, deterministic, nbrs)
+            if sa_pallas.enabled(act, nbrs):
+                g = sa_pallas.sa_mrg_fused(
+                    get_sub(params, geom_params_key), module.mrg_in_features,
+                    module.n_dims, act, module.max_neighbors, geom_in, x_bnd,
+                    nbrs)
+            else:
+                g = geom_seq.apply({"params": get_sub(params,
+                                                      geom_params_key)},
+                                   geom_in, x_bnd, deterministic, nbrs)
         else:
             if module.geom_features_order == "C_first":
                 geom_in = jnp.concatenate([boundary["C"],
@@ -450,8 +458,15 @@ def pipn_pp_apply_with_derivatives(module):
                                            boundary["C"]], axis=-1)
             from porous_cfd_tpu.models.neighbors import extract_sa_neighbors
             nbrs = extract_sa_neighbors(batch.domain, len(module.fe_radius))
-            g, _ = geom_seq.apply({"params": get_sub(params, geom_params_key)},
-                                  geom_in, x_bnd, deterministic, nbrs)
+            if sa_pallas.enabled(act, nbrs):
+                g = sa_pallas.sa_seq_fused(
+                    get_sub(params, geom_params_key), module.fe_fraction,
+                    module.fe_radius, module.fe_global_layers,
+                    module.max_neighbors, act, geom_in, x_bnd, nbrs)
+            else:
+                g, _ = geom_seq.apply({"params": get_sub(params,
+                                                         geom_params_key)},
+                                      geom_in, x_bnd, deterministic, nbrs)
 
         local_params = get_sub(params, local_params_key)
         j0, h0 = analytic.identity_jacobian_t(x_int)

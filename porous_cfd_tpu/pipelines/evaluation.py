@@ -27,8 +27,6 @@ from porous_cfd_tpu.viz.common import (box_plot, plot_data_dist, plot_errors,
                                        plot_timing)
 from porous_cfd_tpu.utils.cache import enable_persistent_cache
 
-enable_persistent_cache()
-
 
 def create_plots_root_dir(save_plots: bool, data_dir: str, checkpoint: str):
     """<checkpoint_parent>/plots/<split>/stats (evaluation.py:23-32)."""
@@ -240,6 +238,7 @@ def evaluate(args: Namespace, model: PinnModel, params, data: FoamDataset,
     """Evaluation loop (evaluation.py:260-328): verbose prediction (residual
     fields), wall-clock timing vs OpenFOAM meta, per-batch extraction,
     aggregate plots + CSVs and custom hooks."""
+    enable_persistent_cache()
     plots_path = create_plots_root_dir(args.save_plots, data.data_dir,
                                        args.checkpoint)
     import jax

@@ -20,8 +20,6 @@ from porous_cfd_tpu.train.engine import (gather_cases, make_optimizer,
                                          make_train_functions)
 from porous_cfd_tpu.utils.cache import enable_persistent_cache
 
-enable_persistent_cache()
-
 
 def default_checkpoint() -> str:
     """Last run in lightning_logs, alphabetical (inference.py:23-26)."""
@@ -73,6 +71,8 @@ def predict(args: Namespace, model: PinnModel, params, data: FoamDataset,
     """Predict each case (batch of 1, like the reference DataLoader,
     inference.py:64-93) and invoke the plotting callback."""
     import jax
+
+    enable_persistent_cache()
 
     # honor --precision on this forward-only path (bf16 compute, f32 params)
     model = model.with_precision(getattr(args, "precision", "32-true"))

@@ -17,8 +17,6 @@ from porous_cfd_tpu.physics.scaling import LossScaler
 from porous_cfd_tpu.train.trainer import Trainer, TrainerConfig
 from porous_cfd_tpu.utils.cache import enable_persistent_cache
 
-enable_persistent_cache()
-
 
 def build_arg_parser() -> ArgumentParser:
     """Reference CLI (training.py:21-47)."""
@@ -62,6 +60,7 @@ def train(args: Namespace, model: PinnModel,
           mesh=None, shard_points: bool = False) -> None:
     """Train with checkpoint-every-500-epochs + final model.ckpt
     (training.py:50-85)."""
+    enable_persistent_cache()
     cfg = TrainerConfig(epochs=args.epochs, batch_size=args.batch_size,
                         logs_dir=args.logs_dir, name=args.name,
                         log_every=getattr(args, "log_every", 1))

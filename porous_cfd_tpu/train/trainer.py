@@ -211,7 +211,11 @@ class Trainer:
                 if (epoch + i + 1) % cfg.log_every == 0 or k > 1:
                     for label, v in zip(self.fns.metric_labels, m_epochs[i]):
                         self.writer.add_scalar(label, float(v), epoch + i)
-            if last % cfg.log_every == 0 or k > 1:
+            # due-ness by epochs elapsed, not exact phase: chunks are clipped
+            # at checkpoint boundaries, so ``last`` can drift off multiples of
+            # log_every when checkpoint_every isn't aligned with it
+            crossed_log = (last // cfg.log_every) > (epoch // cfg.log_every)
+            if crossed_log or k > 1:
                 lr = self._current_lr(state)
                 self.writer.add_scalar("lr-Adam", lr, last - 1)
                 if state.scaler_state is not None:
@@ -220,7 +224,7 @@ class Trainer:
                         "Loss weights",
                         dict(zip(self.fns.metric_labels[1:1 + len(lam)],
                                  lam.tolist())), last - 1)
-            if self.val_data is not None and last % cfg.log_every == 0:
+            if self.val_data is not None and crossed_log:
                 val = self.validate(state.params)
                 for label, v in zip(
                         [f"Validation {l}"

@@ -14,6 +14,8 @@ DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(
 def enable_persistent_cache(cache_dir: str | None = None) -> None:
     import jax
 
+    if cache_dir is None and jax.config.jax_compilation_cache_dir:
+        return  # respect a consumer-configured cache location
     jax.config.update("jax_compilation_cache_dir",
                       cache_dir or os.environ.get("JAX_CACHE_DIR",
                                                   DEFAULT_DIR))

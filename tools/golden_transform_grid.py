@@ -1,0 +1,221 @@
+"""Reference-scale FVM golden datasets: the duct transform grid.
+
+Mirrors the reference's duct experiment data protocol at full scale, with the
+in-repo FVM solver as the CFD engine:
+
+  * ``fixed``: the 11-primitive mesh zoo x rotation grid x (x, y) scale grid of
+    ``examples/duct_fixed_boundary/assets/meshes/standard/transforms.json``
+    (reference parse: rotation = linspace(start, stop, n),
+    scale = linspace(0.75, 1, 2) per axis -> 4 combos; 160 cases total),
+    shuffled and split 60/20/20 train/val/test exactly like
+    ``datagen/data_generator.py:201-231`` — so val/test contain *unseen
+    geometry variants*.
+  * ``variable``: the duct_variable_boundary protocol
+    (``examples/duct_variable_boundary/generator_2d_variable.py:15-100`` +
+    ``assets/meshes/standard/config.json``): the (d, f) coefficient grid
+    (incl. the anisotropic d = [12000, 20000] pair) x 5 inlet speeds over the
+    transformed-mesh zoo, each case kept with probability ``keep_p``, with a
+    random inlet angle in [-30, 30] deg and 0.015 m/s inlet jitter.
+
+Each case is solved to steady state (tol on |du/dt|_inf) and written in the
+standard OpenFOAM-like layout with per-case solver wall time, then meta.json /
+min_points.json / data_config.json are produced so the experiment CLIs consume
+the splits directly.
+
+Usage:
+  python tools/golden_transform_grid.py fixed    [--root data/golden_grid]
+  python tools/golden_transform_grid.py variable [--root data/golden_variable]
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from porous_cfd_tpu.datagen import fvm
+from porous_cfd_tpu.datagen.meta import generate_meta, generate_min_points
+from porous_cfd_tpu.datagen.synthetic_case import write_data_config
+
+# transforms.json mirror: shape -> rotation (start, stop, n); scale grid is
+# linspace(0.75, 1, 2) on x and y independently for every shape.
+TRANSFORMS = {
+    "circle": [],
+    "semi_circle": [0, 315, 5],
+    "circle_sector": [0, 315, 5],
+    "equilateral_triangle": [30, 90, 3],
+    "equilateral_hexagon": [0, 30, 2],
+    "equilateral_octagon": [0, 22.5, 2],
+    "trapezoid": [0, 315, 5],
+    "square": [0, 85, 4],
+    "star": [0, 85, 4],
+    "ellipse": [0, 90, 4],
+    "rectangle": [0, 135, 5],
+}
+BASE_SIZE = 0.14
+CENTER = (0.1, 0.0)
+
+# duct_variable_boundary config.json mirror ('cfd params')
+VARIABLE_COEFFS = [
+    {"d": 5000.0, "f": 16.381},
+    {"d": 7000.0, "f": 20.783},
+    {"d": 9000.0, "f": 24.923},
+    {"d": (12000.0, 20000.0), "f": 30.80},
+]
+VARIABLE_INLETS = [0.1, 0.125, 0.15, 0.175, 0.2]
+VARIABLE_ANGLE = (-30.0, 30.0)
+VARIABLE_INLET_JITTER = 0.015
+
+SPLITS = {"train": 0.6, "val": 0.2, "test": 0.2}
+SEED = 8421
+
+
+def rotations(spec):
+    if not spec:
+        return [0.0]
+    return np.linspace(spec[0], spec[1], int(spec[2])).tolist()
+
+
+def scale_grid():
+    s = np.linspace(0.75, 1.0, 2)
+    return [(float(a), float(b)) for a in s for b in s]
+
+
+def enumerate_meshes():
+    """All transformed geometries (shape, rotation deg, sx, sy)."""
+    out = []
+    for shape, rot in TRANSFORMS.items():
+        for r in rotations(rot):
+            for sx, sy in scale_grid():
+                out.append({"shape": shape, "rot": float(r),
+                            "sx": sx, "sy": sy})
+    return out
+
+
+def split_cases(cases, rng):
+    """Shuffle + 60/20/20 split (data_generator.py:201-231 semantics)."""
+    order = rng.permutation(len(cases))
+    n_train = int(len(cases) * SPLITS["train"])
+    n_val = int(len(cases) * SPLITS["val"])
+    return {
+        "train": [cases[i] for i in order[:n_train]],
+        "val": [cases[i] for i in order[n_train:n_train + n_val]],
+        "test": [cases[i] for i in order[n_train + n_val:]],
+    }
+
+
+def solve_and_write(case, case_dir, nx, ny, n_internal, rng,
+                    max_steps=30000, tol=1e-4):
+    cx, cy = CENTER
+    t0 = time.perf_counter_ns()
+    sol = fvm.solve_duct(
+        case["shape"], cx, cy, BASE_SIZE, np.radians(case["rot"]),
+        nx=nx, ny=ny, sx=case["sx"], sy=case["sy"],
+        u_inlet=case.get("u_x", fvm.U_INLET),
+        v_inlet=case.get("u_y", 0.0),
+        d=case.get("d", fvm.DARCY_D), f=case.get("f", fvm.FORCH_F),
+        max_steps=max_steps, tol=tol)
+    elapsed = time.perf_counter_ns() - t0
+    fvm.solution_to_case(
+        sol, case_dir, n_internal=n_internal, rng=rng,
+        d=case.get("d", fvm.DARCY_D), f=case.get("f", fvm.FORCH_F),
+        u_inlet=case.get("u_x", fvm.U_INLET),
+        v_inlet=case.get("u_y", 0.0), elapsed_ns=elapsed)
+    return sol
+
+
+def case_name(i, case):
+    tag = (f"{case['shape']}_r{case['rot']:g}"
+           f"_s{case['sx']:g}-{case['sy']:g}")
+    if "u_x" in case:
+        d = case["d"]
+        d0 = d[0] if np.ndim(d) else d
+        tag += f"_d{d0:g}_in{np.hypot(case['u_x'], case['u_y']):.4f}"
+    return f"case_{i:03d}_{tag}"
+
+
+def generate(root, splits, nx, ny, n_internal, variable):
+    root = Path(root)
+    manifest = {}
+    for split, cases in splits.items():
+        print(f"[{split}] solving {len(cases)} cases at {nx}x{ny} ...",
+              flush=True)
+        t0 = time.time()
+        for i, case in enumerate(cases):
+            sol = solve_and_write(case, root / split / case_name(i, case),
+                                  nx, ny, n_internal,
+                                  np.random.default_rng(SEED + i))
+            if sol.residual > 1e-3:
+                print(f"  WARNING {case_name(i, case)}: residual "
+                      f"{sol.residual:.2e} after {sol.steps} steps",
+                      flush=True)
+            if (i + 1) % 20 == 0:
+                print(f"  {i + 1}/{len(cases)} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+        manifest[split] = [case_name(i, c) for i, c in enumerate(cases)]
+
+        fields = ["C", "U", "p", "cellToRegion"]
+        norm = {"Scale": [], "Standardize": ["C", "U", "p"]}
+        var_bounds = {}
+        if variable:
+            fields += ["d", "f"]
+            norm = {"Scale": ["d", "f"], "Standardize": ["C", "U", "p"]}
+            var_bounds = {"U": "inlet"}
+        write_data_config(root / split, fields, var_bounds, norm, ["x", "y"])
+        generate_meta(root / split, *fields, max_dim=2)
+        print(f"[{split}] done in {time.time() - t0:.0f}s", flush=True)
+    generate_min_points(root)
+    with open(root / "manifest.json", "w") as fh:
+        json.dump({"splits": manifest,
+                   "grid": {"nx": nx, "ny": ny, "base_size": BASE_SIZE},
+                   "seed": SEED}, fh, indent=2)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=["fixed", "variable"])
+    ap.add_argument("--root", default=None)
+    ap.add_argument("--nx", type=int, default=120)
+    ap.add_argument("--ny", type=int, default=72)
+    ap.add_argument("--n-internal", type=int, default=4000,
+                    help="internal cell subsample per case (full grid is "
+                         "nx*ny); keeps parse/disk cost bounded")
+    ap.add_argument("--keep-p", type=float, default=0.05,
+                    help="variable mode: per-combination keep probability "
+                         "(reference drop_p semantics)")
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(SEED)
+    meshes = enumerate_meshes()
+    if args.mode == "fixed":
+        root = args.root or "data/golden_grid"
+        splits = split_cases(meshes, rng)
+    else:
+        root = args.root or "data/golden_variable"
+        cases = []
+        for coeffs in VARIABLE_COEFFS:
+            for inlet in VARIABLE_INLETS:
+                for mesh in meshes:
+                    if rng.random() > args.keep_p:
+                        continue
+                    u = inlet + rng.uniform(-VARIABLE_INLET_JITTER / 2,
+                                            VARIABLE_INLET_JITTER / 2)
+                    angle = np.radians(rng.uniform(*VARIABLE_ANGLE))
+                    cases.append({**mesh, "d": coeffs["d"], "f": coeffs["f"],
+                                  "u_x": u * np.cos(angle),
+                                  "u_y": u * np.sin(angle),
+                                  "angle_deg": float(np.degrees(angle))})
+        print(f"variable grid: kept {len(cases)} of "
+              f"{len(VARIABLE_COEFFS) * len(VARIABLE_INLETS) * len(meshes)} "
+              "combinations", flush=True)
+        splits = split_cases(cases, rng)
+    generate(root, splits, args.nx, args.ny, args.n_internal,
+             variable=(args.mode == "variable"))
+
+
+if __name__ == "__main__":
+    main()
