@@ -426,8 +426,17 @@ def solution_to_case(sol: DuctSolution, case_dir: str | Path,
     outlet_c = np.stack([np.full(ny, x1), yc], -1)
     walls_c = np.concatenate([np.stack([xc, np.full(nx, y0)], -1),
                               np.stack([xc, np.full(nx, y1)], -1)])
-    patches = {"inlet": inlet_c, "outlet": outlet_c, "walls": walls_c}
+    # porous-fluid interface faces (the reference dumps the snappyHexMesh
+    # cellZone cut surface as an 'interface' patch — controlDict:149; it is
+    # the 4th boundaryId and carries the obstacle outline into the geometry
+    # features and the SDF)
+    iface_c, iface_u, iface_p = _interface_faces(sol)
+    patches = {"inlet": inlet_c, "interface": iface_c, "outlet": outlet_c,
+               "walls": walls_c}
     patch_fields = {
+        "interface": {"U": iface_u, "p": iface_p,
+                      "momentError": np.zeros((len(iface_c), 2)),
+                      "div(phi)": np.zeros(len(iface_c))},
         "inlet": {"U": np.tile([[u_inlet, v_inlet]], (ny, 1)),
                   "p": sol.p[0, :],                      # zeroGradient
                   "momentError": np.zeros((ny, 2)),
@@ -447,6 +456,37 @@ def solution_to_case(sol: DuctSolution, case_dir: str | Path,
                fields={"U": U, "p": P, "momentError": merr, "div(phi)": divp},
                patch_fields=patch_fields, d=d, f=f, nu=nu,
                elapsed_ns=elapsed_ns)
+
+
+def _interface_faces(sol: DuctSolution):
+    """Porous-fluid interface face centres + face-interpolated U, p from the
+    zone-transition faces of the structured grid. Mirrors the reference's
+    'interface' faceZone surface dump (cellZone cut surface)."""
+    zone = sol.zone
+    dx = sol.x[1] - sol.x[0]
+    dy = sol.y[1] - sol.y[0]
+
+    centres, us, vs, ps = [], [], [], []
+    # vertical faces between cells (i, j) and (i+1, j)
+    i_idx, j_idx = np.nonzero(zone[1:, :] != zone[:-1, :])
+    if len(i_idx):
+        centres.append(np.stack([sol.x[i_idx] + 0.5 * dx, sol.y[j_idx]], -1))
+        us.append(0.5 * (sol.u[i_idx, j_idx] + sol.u[i_idx + 1, j_idx]))
+        vs.append(0.5 * (sol.v[i_idx, j_idx] + sol.v[i_idx + 1, j_idx]))
+        ps.append(0.5 * (sol.p[i_idx, j_idx] + sol.p[i_idx + 1, j_idx]))
+    # horizontal faces between cells (i, j) and (i, j+1)
+    i_idx, j_idx = np.nonzero(zone[:, 1:] != zone[:, :-1])
+    if len(i_idx):
+        centres.append(np.stack([sol.x[i_idx], sol.y[j_idx] + 0.5 * dy], -1))
+        us.append(0.5 * (sol.u[i_idx, j_idx] + sol.u[i_idx, j_idx + 1]))
+        vs.append(0.5 * (sol.v[i_idx, j_idx] + sol.v[i_idx, j_idx + 1]))
+        ps.append(0.5 * (sol.p[i_idx, j_idx] + sol.p[i_idx, j_idx + 1]))
+    if not centres:
+        raise ValueError("no porous-fluid interface faces in the solution")
+    c = np.concatenate(centres)
+    u = np.stack([np.concatenate(us), np.concatenate(vs)], -1)
+    p = np.concatenate(ps)
+    return c, u, p
 
 
 # the primitive/placement zoo used for golden splits (deterministic)

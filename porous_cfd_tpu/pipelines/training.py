@@ -45,13 +45,40 @@ def build_arg_parser() -> ArgumentParser:
                    help="use the analytic (v,J,H) derivative propagation "
                         "where the model family supports it (physics/"
                         "analytic.py) instead of exact nested autodiff")
+    p.add_argument("--decoupled-context", action="store_true",
+                   help="with --fast-derivatives on plain PIPN: treat the "
+                        "pooled global feature as locally constant in the "
+                        "derivatives (~1.4x faster; accuracy-validated speed "
+                        "mode, CONVERGENCE.md)")
     p.add_argument("--loss-scaler", type=str, default="fixed",
                    help="loss scaler. Supports fixed and relobralo")
     p.add_argument("--log-every", type=int, default=1,
                    help="epochs per logging/validation sync; values > 1 also "
                         "run that many epochs as one device program "
                         "(train scalars are still logged per epoch)")
+    p.add_argument("--mesh-data", type=int, default=0,
+                   help="devices on the 'data' mesh axis (geometry-batch "
+                        "data parallelism; XLA inserts the gradient psum "
+                        "over ICI). 0 = single device; -1 = all available "
+                        "devices not used by --mesh-points")
+    p.add_argument("--mesh-points", type=int, default=1,
+                   help="devices on the 'points' mesh axis (point-cloud "
+                        "sharding for large 3D clouds; the global max-pool "
+                        "lowers to an all-reduce over this axis)")
     return p
+
+
+def mesh_from_args(args: Namespace):
+    """(mesh, shard_points) from the --mesh-data/--mesh-points flags; (None,
+    False) when multi-device execution is not requested."""
+    data = getattr(args, "mesh_data", 0)
+    points = getattr(args, "mesh_points", 1)
+    if not data and points <= 1:
+        return None, False
+    from porous_cfd_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(data=None if data in (0, -1) else data,
+                     points=max(1, points))
+    return mesh, points > 1
 
 
 def train(args: Namespace, model: PinnModel,
@@ -59,8 +86,13 @@ def train(args: Namespace, model: PinnModel,
           loss_scaler: LossScaler | None = None,
           mesh=None, shard_points: bool = False) -> None:
     """Train with checkpoint-every-500-epochs + final model.ckpt
-    (training.py:50-85)."""
+    (training.py:50-85). Multi-device execution comes either from an
+    explicit ``mesh`` argument or from the --mesh-data/--mesh-points CLI
+    flags (every experiment train.py gets it through here)."""
     enable_persistent_cache()
+    if mesh is None:
+        mesh, flag_shard_points = mesh_from_args(args)
+        shard_points = shard_points or flag_shard_points
     cfg = TrainerConfig(epochs=args.epochs, batch_size=args.batch_size,
                         logs_dir=args.logs_dir, name=args.name,
                         log_every=getattr(args, "log_every", 1))

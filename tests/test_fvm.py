@@ -86,7 +86,7 @@ def test_case_round_trip(tmp_path):
         str(split / "case_0"), "C", "U", "p", "cellToRegion", "d", "f",
         max_dim=2)
     assert internal["U"].shape == (400, 2)
-    assert set(boundary) == {"inlet", "outlet", "walls"}
+    assert set(boundary) == {"inlet", "interface", "outlet", "walls"}
     # inlet BC values survive the round trip
     np.testing.assert_allclose(boundary["inlet"]["U"][:, 0], fvm.U_INLET)
     np.testing.assert_allclose(boundary["outlet"]["p"][:, 0], 0.0)
