@@ -159,17 +159,34 @@ def sa_chain_precompute(pos: jnp.ndarray, fractions, radii, max_neighbors: int):
         out[f"sa_cent_{i}"] = cent
         out[f"sa_idx_{i}"] = idx
         out[f"sa_mask_{i}"] = mask
+        # normalized relative positions are purely geometric -> precompute
+        # once per run (TPU gathers are slow; doing this per training step
+        # dominated the ++-family step time, see ops/sa_pallas.py)
+        neigh_pos = jax.vmap(lambda a, i_: a[i_])(pos, idx)
+        out[f"sa_rel_{i}"] = ((neigh_pos - pos_c[..., None, :]) / r
+                              ).astype(jnp.float32)
+        out[f"sa_posc_{i}"] = pos_c.astype(jnp.float32)
         pos = pos_c
     return out
 
 
 def extract_sa_neighbors(domain: dict, n_layers: int):
     """Pull a precomputed SA chain (sa_chain_precompute keys) out of a
-    FoamData domain dict; None when absent (compute on the fly)."""
+    FoamData domain dict; None when absent (compute on the fly). Entries are
+    (centroids, idx, mask) or (centroids, idx, mask, rel) when the static
+    relative positions were precomputed."""
     if "sa_cent_0" not in domain:
         return None
-    return [(domain[f"sa_cent_{i}"], domain[f"sa_idx_{i}"],
-             domain[f"sa_mask_{i}"]) for i in range(n_layers)]
+    out = []
+    for i in range(n_layers):
+        entry = (domain[f"sa_cent_{i}"], domain[f"sa_idx_{i}"],
+                 domain[f"sa_mask_{i}"])
+        if f"sa_rel_{i}" in domain:
+            entry = entry + (domain[f"sa_rel_{i}"],)
+        if f"sa_posc_{i}" in domain:
+            entry = entry + (domain[f"sa_posc_{i}"],)
+        out.append(entry)
+    return out
 
 
 def unet_chain_precompute(pos: jnp.ndarray, fractions, radii,

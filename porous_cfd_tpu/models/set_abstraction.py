@@ -60,7 +60,7 @@ class SetAbstraction(nn.Module):
         required for the U-Net variants' second-order graphs at reference
         point counts (their full-K temporaries exceed HBM)."""
         if neighbors is not None:
-            centroids, idx, mask = neighbors
+            centroids, idx, mask = neighbors[:3]
             pos_c = _gather_points(pos, centroids)
         else:
             n = pos.shape[-2]

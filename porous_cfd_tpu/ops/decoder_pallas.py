@@ -30,6 +30,7 @@ contribute nothing to weight gradients).
 """
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 
 import jax
@@ -67,24 +68,39 @@ def _rows(a):
     return a.reshape(-1, a.shape[-1]) if a.ndim > 2 else a
 
 
+# In-kernel matmul input precision. With f32 inputs Mosaic runs true-f32
+# multi-pass MXU matmuls; casting the operands to bf16 (f32 accumulation
+# kept) uses the MXU's native rate — the same bf16-pass precision XLA's
+# DEFAULT matmul mode applies to the rest of the compute graph, so the
+# kernels are not the odd ones out. Opt out with PCT_KERNEL_BF16=0 (the
+# golden-duct accuracy benchmark guards this knob, CONVERGENCE.md).
+_BF16_INPUTS = os.environ.get("PCT_KERNEL_BF16", "1") != "0"
+
+
+def _mm(a, b, dims):
+    # TPU-only: interpret-mode parity tests stay exact f32
+    if _BF16_INPUTS and on_tpu():
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jax.lax.dot_general(a, b, dims,
+                               preferred_element_type=jnp.float32)
+
+
 def _dot(a, b):
     """(..., K) @ (K, N) on the MXU with f32 accumulation."""
-    out = jax.lax.dot_general(_rows(a), b, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+    out = _mm(_rows(a), b, (((1,), (0,)), ((), ())))
     return out.reshape(*a.shape[:-1], b.shape[-1])
 
 
 def _dot_t(g, w):
     """(..., F) @ (K, F)^T -> (..., K)."""
-    out = jax.lax.dot_general(_rows(g), w, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+    out = _mm(_rows(g), w, (((1,), (1,)), ((), ())))
     return out.reshape(*g.shape[:-1], w.shape[0])
 
 
 def _outer(a, g):
     """Weight-gradient contraction: sum over all leading (row) axes."""
-    return jax.lax.dot_general(_rows(a), _rows(g), (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+    return _mm(_rows(a), _rows(g), (((0,), (0,)), ((), ())))
 
 
 def _mask(shape, rate):

@@ -1,34 +1,40 @@
 """Fused Pallas TPU kernel for SetAbstraction radius neighborhoods.
 
-The measured round-2 bottleneck of the ++/PI-GANO model families
-(BASELINE.md): the XLA SetAbstraction materializes every per-neighborhood
-intermediate — messages ``[x_j || rel]`` and each MLP activation — as
-(B, C, K, F) tensors in HBM (~100 MB each at the reference envelope), then
-reads them back for the masked max and again for the backward. An ablation
-showed the *gathers* are <7% of the cost; the traffic is the intermediates.
+The measured ++-family bottleneck (round 3 ablation, BASELINE.md): at the
+bench envelope the XLA SetAbstraction spends most of its time in the
+per-step neighbor *gathers* (``take_along_axis`` lowers to row-wise TPU
+gathers over narrow rows) and in HBM round-trips of the (B, C, K, F)
+neighborhood intermediates. An earlier kernel that still gathered its inputs
+with XLA gathers was no faster than the dense path — the gathers themselves
+were the cost, hidden in a prior measurement by constant folding.
 
-This kernel restructures the computation so nothing K-wide ever reaches HBM:
+This kernel eliminates both:
 
-  * only the raw (B, C, K, F_in) feature gather (F_in is narrow: the SA
-    inputs are coordinates/ids/pooled features, not hidden activations) and
-    the (B, C, K, D) relative positions enter the kernel; the first layer's
-    matmul happens in VMEM with the weight split into its feature block
-    ``W0x`` and relative-position block ``W0r``;
-  * inside the kernel each grid block processes ``G`` whole neighborhoods
-    (G*K rows): adds the relative-position term ``rel @ W0r``, runs the
-    remaining activated layers, and performs the masked max per
-    neighborhood — all VMEM-resident; only the (B, C, F_out) result is
-    written ("segmented fused MLP + masked-max pooling", the kernel scoped in
-    BASELINE.md round 2);
-  * the backward kernel recomputes the chain per block (no stored
-    activations), routes each neighborhood's cotangent to its argmax row and
-    accumulates the weight gradients across the grid.
+  * the *static* geometry — normalized relative positions (B, C, K, D) — is
+    precomputed once per run (``models.neighbors.sa_chain_precompute``:
+    point clouds never change across epochs) and streamed, never gathered
+    per step;
+  * the *dynamic* features enter as the densely-projected first layer
+    ``P = x @ W0x + b0`` (an (N, F1) matmul with no K factor), and the
+    per-neighborhood gather of ``P`` happens INSIDE the kernel as a one-hot
+    matmul: each grid block builds its (G*K, N) selection matrix in VMEM
+    from the neighbor indices and rides the MXU with a full-lane (F1-wide)
+    output — no TPU gather instruction anywhere;
+  * each block then adds the relative-position term ``rel @ W0r``, runs the
+    remaining activated layers and the masked max per neighborhood, all
+    VMEM-resident; only the (B, C, F_out) result is written.
+
+The backward kernel recomputes the chain per block, routes each
+neighborhood's cotangent to its argmax row, accumulates weight gradients
+across the grid, and scatters ``dP`` with the transposed one-hot matmul
+(again no scatter instruction). ``dx`` then falls out of XLA's autodiff of
+the dense projection.
 
 Semantics match ``models/set_abstraction.SetAbstraction`` (reference
 ``models/modules.py:295-325``): empty neighborhoods yield 0; max-pool ties
 route the cotangent to the first maximal row (XLA splits exact ties evenly —
 measure-zero for continuous activations, same documented deviation as
-ops/pointnet_pallas.py). Relative positions are treated as data (no position
+ops/pointnet_pallas.py). Relative positions are data (no position
 cotangent) — valid for the boundary-cloud geometry branches, whose
 coordinates are stop-gradient in the reference (pi_gano_pp.py:71-72) or
 plain inputs; the all-points U-Net encoders keep the XLA path.
@@ -39,31 +45,41 @@ from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 from porous_cfd_tpu.ops.decoder_pallas import (_RULES, _activation_name, _dot,
                                                _dot_t, _outer, on_tpu)
 
 NEG = float(jnp.finfo(jnp.float32).min)
-supported = None  # set below
+
+
+def _onehot(idx_ref, g_block, k, n_src):
+    """(G*K, N) selection matrix from the (G*K, 1) neighbor-index block.
+    The indices arrive pre-flattened with a trailing singleton lane — Mosaic
+    cannot shape-cast a lane axis into sublanes in-kernel."""
+    rows = g_block * k
+    idx = idx_ref[0]                                     # (rows, 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rows, n_src), 1)
+    return (cols == idx).astype(jnp.float32)
 
 
 def _fwd_kernel(cfg, *refs):
-    widths, act_name, g_block, k, nl = cfg
+    widths, act_name, g_block, k, nl, n_src = cfg
     rules = _RULES[act_name]
     it = iter(refs)
-    xg_ref = next(it)
+    p_ref = next(it)
     rel_ref = next(it)
+    idx_ref = next(it)
     mask_ref = next(it)
-    w0x_ref = next(it)
     w0r_ref = next(it)
-    b0_ref = next(it)
     ws = [next(it) for _ in range(nl - 1)]
     bs = [next(it) for _ in range(nl - 1)]
     out_ref = next(it)
 
-    h = rules(_dot(xg_ref[0], w0x_ref[...]) + _dot(rel_ref[0], w0r_ref[...])
-              + b0_ref[...])[0]
+    onehot = _onehot(idx_ref, g_block, k, n_src)
+    z0 = _dot(onehot, p_ref[0]) + _dot(rel_ref[0], w0r_ref[...])
+    h = rules(z0)[0]
     for i in range(nl - 1):
         h = rules(_dot(h, ws[i][...]) + bs[i][...])[0]
 
@@ -75,38 +91,37 @@ def _fwd_kernel(cfg, *refs):
 
 
 def _bwd_kernel(cfg, *refs):
-    widths, act_name, g_block, k, nl = cfg
+    widths, act_name, g_block, k, nl, n_src = cfg
     rules = _RULES[act_name]
     it = iter(refs)
-    xg_ref = next(it)
+    p_ref = next(it)
     rel_ref = next(it)
+    idx_ref = next(it)
     mask_ref = next(it)
-    w0x_ref = next(it)
     w0r_ref = next(it)
-    b0_ref = next(it)
     ws = [next(it) for _ in range(nl - 1)]
     bs = [next(it) for _ in range(nl - 1)]
     dout_ref = next(it)
-    dxg_ref = next(it)
-    dw0x_ref = next(it)
+    dp_ref = next(it)
     dw0r_ref = next(it)
-    db0_ref = next(it)
     dws = [next(it) for _ in range(nl - 1)]
     dbs = [next(it) for _ in range(nl - 1)]
 
     b, t = pl.program_id(0), pl.program_id(1)
 
     @pl.when(jnp.logical_and(b == 0, t == 0))
-    def _init():
-        dw0x_ref[...] = jnp.zeros_like(dw0x_ref)
+    def _init_weights():
         dw0r_ref[...] = jnp.zeros_like(dw0r_ref)
-        db0_ref[...] = jnp.zeros_like(db0_ref)
         for r in dws + dbs:
             r[...] = jnp.zeros_like(r)
 
+    @pl.when(t == 0)
+    def _init_dp():
+        dp_ref[...] = jnp.zeros_like(dp_ref)
+
     # forward recompute, stashing pre-activations + layer inputs
-    z0 = (_dot(xg_ref[0], w0x_ref[...]) + _dot(rel_ref[0], w0r_ref[...])
-          + b0_ref[...])
+    onehot = _onehot(idx_ref, g_block, k, n_src)
+    z0 = _dot(onehot, p_ref[0]) + _dot(rel_ref[0], w0r_ref[...])
     zs, a_in = [z0], []
     a = rules(z0)[0]
     for i in range(nl - 1):
@@ -133,73 +148,69 @@ def _bwd_kernel(cfg, *refs):
         dbs[i][...] += jnp.sum(gz, axis=0, keepdims=True)
         g = _dot_t(gz, ws[i][...])
     gz0 = g * rules(zs[0])[1]
-    dxg_ref[0] = _dot_t(gz0, w0x_ref[...])
-    dw0x_ref[...] += _outer(xg_ref[0], gz0)
+    dp_ref[0] += _outer(onehot, gz0)                     # transposed one-hot
     dw0r_ref[...] += _outer(rel_ref[0], gz0)
-    db0_ref[...] += jnp.sum(gz0, axis=0, keepdims=True)
 
 
 @lru_cache(maxsize=None)
-def _build(widths, act_name, n_cases, n_cent, k, f_in, n_dims, g_block,
+def _build(widths, act_name, n_cases, n_cent, k, n_src, n_dims, g_block,
            interpret):
     nl = len(widths)
     f1, f_out = widths[0], widths[-1]
     grid = (n_cases, n_cent // g_block)
-    cfg = (widths, act_name, g_block, k, nl)
+    cfg = (widths, act_name, g_block, k, nl, n_src)
     rows = g_block * k
 
-    xg_spec = pl.BlockSpec((1, rows, f_in), lambda b, t: (b, t, 0))
+    p_spec = pl.BlockSpec((1, n_src, f1), lambda b, t: (b, 0, 0))
     rel_spec = pl.BlockSpec((1, rows, n_dims), lambda b, t: (b, t, 0))
+    idx_spec = pl.BlockSpec((1, rows, 1), lambda b, t: (b, t, 0))
     mask_spec = pl.BlockSpec((1, g_block, k), lambda b, t: (b, t, 0))
-    w0x_spec = pl.BlockSpec((f_in, f1), lambda b, t: (0, 0))
     w0r_spec = pl.BlockSpec((n_dims, f1), lambda b, t: (0, 0))
-    b0_spec = pl.BlockSpec((1, f1), lambda b, t: (0, 0))
     w_specs = [pl.BlockSpec((widths[i], widths[i + 1]), lambda b, t: (0, 0))
                for i in range(nl - 1)]
     b_specs = [pl.BlockSpec((1, widths[i + 1]), lambda b, t: (0, 0))
                for i in range(nl - 1)]
     out_spec = pl.BlockSpec((1, g_block, f_out), lambda b, t: (b, t, 0))
 
-    def run_fwd(xg, rel, maskf, w0x, w0r, b0, ws, bs):
+    def run_fwd(p, rel, idxf, maskf, w0r, ws, bs):
         return pl.pallas_call(
             partial(_fwd_kernel, cfg), grid=grid,
-            in_specs=[xg_spec, rel_spec, mask_spec, w0x_spec, w0r_spec,
-                      b0_spec] + w_specs + b_specs,
+            in_specs=[p_spec, rel_spec, idx_spec, mask_spec, w0r_spec]
+            + w_specs + b_specs,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((n_cases, n_cent, f_out),
                                            jnp.float32),
             interpret=interpret,
-        )(xg, rel, maskf, w0x, w0r, b0, *ws, *bs)
+        )(p, rel, idxf, maskf, w0r, *ws, *bs)
 
     @jax.custom_vjp
-    def fn(xg, rel, maskf, w0x, w0r, b0, ws, bs):
-        return run_fwd(xg, rel, maskf, w0x, w0r, b0, ws, bs)
+    def fn(p, rel, idxf, maskf, w0r, ws, bs):
+        return run_fwd(p, rel, idxf, maskf, w0r, ws, bs)
 
-    def fn_fwd(xg, rel, maskf, w0x, w0r, b0, ws, bs):
-        return run_fwd(xg, rel, maskf, w0x, w0r, b0, ws, bs), (
-            xg, rel, maskf, w0x, w0r, b0, ws, bs)
+    def fn_fwd(p, rel, idxf, maskf, w0r, ws, bs):
+        return run_fwd(p, rel, idxf, maskf, w0r, ws, bs), (
+            p, rel, idxf, maskf, w0r, ws, bs)
 
     def fn_bwd(saved, dout):
-        xg, rel, maskf, w0x, w0r, b0, ws, bs = saved
+        p, rel, idxf, maskf, w0r, ws, bs = saved
         res = pl.pallas_call(
             partial(_bwd_kernel, cfg), grid=grid,
-            in_specs=[xg_spec, rel_spec, mask_spec, w0x_spec, w0r_spec,
-                      b0_spec] + w_specs + b_specs + [out_spec],
-            out_specs=[xg_spec, w0x_spec, w0r_spec, b0_spec]
-            + w_specs + b_specs,
-            out_shape=([jax.ShapeDtypeStruct(xg.shape, jnp.float32),
-                        jax.ShapeDtypeStruct(w0x.shape, jnp.float32),
-                        jax.ShapeDtypeStruct(w0r.shape, jnp.float32),
-                        jax.ShapeDtypeStruct(b0.shape, jnp.float32)]
+            in_specs=[p_spec, rel_spec, idx_spec, mask_spec, w0r_spec]
+            + w_specs + b_specs + [out_spec],
+            out_specs=[p_spec, w0r_spec] + w_specs + b_specs,
+            out_shape=([jax.ShapeDtypeStruct(p.shape, jnp.float32),
+                        jax.ShapeDtypeStruct(w0r.shape, jnp.float32)]
                        + [jax.ShapeDtypeStruct(w.shape, jnp.float32)
                           for w in ws]
                        + [jax.ShapeDtypeStruct(b.shape, jnp.float32)
                           for b in bs]),
             interpret=interpret,
-        )(xg, rel, maskf, w0x, w0r, b0, *ws, *bs, dout)
-        dxg, dw0x, dw0r, db0 = res[:4]
-        return (dxg, jnp.zeros_like(rel), jnp.zeros_like(maskf), dw0x, dw0r,
-                db0, tuple(res[4:4 + nl - 1]), tuple(res[3 + nl:]))
+        )(p, rel, idxf, maskf, w0r, *ws, *bs, dout)
+        dp, dw0r = res[0], res[1]
+        f0 = jax.dtypes.float0
+        return (dp, jnp.zeros_like(rel), np.zeros(idxf.shape, f0),
+                jnp.zeros_like(maskf), dw0r,
+                tuple(res[2:2 + nl - 1]), tuple(res[1 + nl:]))
 
     fn.defvjp(fn_fwd, fn_bwd)
     return fn
@@ -219,16 +230,20 @@ def _pick_g(n_cent: int, k: int) -> int:
     return g
 
 
-def sa_neighborhood(params: dict, mlp_layers, x, pos, pos_c, idx, mask,
-                    r: float, activation, interpret: bool | None = None):
+def sa_neighborhood(params: dict, mlp_layers, x, pos, idx, mask, r: float,
+                    activation, rel=None, interpret: bool | None = None):
     """Fused SetAbstraction level: masked max over neighbors of
     ``MLP([x_j || (pos_j - pos_c)/r])``.
 
     :param params: ``conv_mlp`` parameter tree (``linear_i``: kernel/bias);
-        layer 0's kernel rows split into the feature block ``W0x`` and the
-        relative-position block ``W0r`` (both applied in-kernel).
-    :param x: (B, N, F_in) source features; pos (B, N, D); pos_c (B, C, D).
+        layer 0's kernel rows split into the feature block ``W0x`` (applied
+        densely over the N source points) and the relative-position block
+        ``W0r`` (applied in-kernel on the precomputed rel).
+    :param x: (B, N, F_in) source features; pos (B, N, D).
     :param idx: (B, C, K) int32 neighbor indices; mask (B, C, K) validity.
+    :param rel: (B, C, K, D) precomputed normalized relative positions
+        (``sa_chain_precompute``); computed on the fly when absent (slower:
+        per-step XLA gathers).
     :return: (B, C, F_last) pooled features.
     """
     if interpret is None:
@@ -238,33 +253,48 @@ def sa_neighborhood(params: dict, mlp_layers, x, pos, pos_c, idx, mask,
     f_in = x.shape[-1]
     n_dims = pos.shape[-1]
     w0 = params["linear_0"]["kernel"].astype(jnp.float32)
-    b0 = params["linear_0"]["bias"][None, :].astype(jnp.float32)
+    b0 = params["linear_0"]["bias"].astype(jnp.float32)
     ws = tuple(params[f"linear_{i}"]["kernel"].astype(jnp.float32)
                for i in range(1, nl))
     bs = tuple(params[f"linear_{i}"]["bias"][None, :].astype(jnp.float32)
                for i in range(1, nl))
 
-    # only the narrow raw features + relative positions are gathered; every
-    # K-wide MLP intermediate lives and dies in VMEM
-    xg = _gather(x.astype(jnp.float32), idx)              # (B, C, K, F_in)
-    rel = (_gather(pos.astype(jnp.float32), idx)
-           - pos_c.astype(jnp.float32)[..., None, :]) / r
+    # dense first-layer feature projection: no K factor, no gather
+    p_dense = x.astype(jnp.float32) @ w0[:f_in] + b0      # (B, N, F1)
+    if rel is None:
+        raise ValueError(
+            "sa_neighborhood requires precomputed rel; use "
+            "models.neighbors.sa_chain_precompute (stores sa_rel_i)")
 
     b_cases, n_cent, k = idx.shape
+    n_src = x.shape[-2]
     g_block = _pick_g(n_cent, k)
     pad = (-n_cent) % g_block
     maskf = mask.astype(jnp.float32)
+    idxf = idx.astype(jnp.int32)
+    relf = rel.astype(jnp.float32)
     if pad:
-        xg = jnp.pad(xg, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        rel = jnp.pad(rel, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        relf = jnp.pad(relf, ((0, 0), (0, pad), (0, 0), (0, 0)))
         maskf = jnp.pad(maskf, ((0, 0), (0, pad), (0, 0)))
+        idxf = jnp.pad(idxf, ((0, 0), (0, pad), (0, 0)))
     cp = n_cent + pad
 
-    fn = _build(tuple(mlp_layers[1:]), act, b_cases, cp, k, f_in, n_dims,
+    fn = _build(tuple(mlp_layers[1:]), act, b_cases, cp, k, n_src, n_dims,
                 g_block, interpret)
-    out = fn(xg.reshape(b_cases, cp * k, -1), rel.reshape(b_cases, cp * k, -1),
-             maskf, w0[:f_in], w0[f_in:], b0, ws, bs)
+    out = fn(p_dense, relf.reshape(b_cases, cp * k, -1),
+             idxf.reshape(b_cases, cp * k, 1), maskf, w0[f_in:], ws, bs)
     return out[:, :n_cent] if pad else out
+
+
+def _level_rel(entry, pos, r):
+    """(idx, mask, rel) from a neighbor-chain entry, computing rel on the
+    fly (slow XLA-gather path) when the chain predates rel precompute."""
+    if len(entry) >= 4:
+        return entry[1], entry[2], entry[3]
+    cent, idx, mask = entry[:3]
+    pos_c = _gather(pos, cent)
+    rel = (_gather(pos, idx) - pos_c[..., None, :]) / r
+    return idx, mask, rel
 
 
 def sa_seq_fused(params: dict, fractions, radii, conv_mlp, max_neighbors: int,
@@ -277,18 +307,18 @@ def sa_seq_fused(params: dict, fractions, radii, conv_mlp, max_neighbors: int,
     ``models.neighbors.sa_chain_precompute`` (required — the fused path is
     only engaged for static precomputed clouds).
 
-    :return: (B, 1, F) pooled descriptor (and the last positions when
+    :return: (B, C_last, F) features (and the last positions when
         ``return_last_pos``).
     """
     from porous_cfd_tpu.ops import pointnet_pallas
 
     for i, (r, layers) in enumerate(zip(radii, conv_mlp)):
-        centroids, idx, mask = neighbors[i]
-        pos_c = _gather(pos, centroids)
+        entry = neighbors[i]
+        idx, mask, rel = _level_rel(entry, pos, r)
         x = sa_neighborhood(params[f"sa_{i}"]["conv_mlp"], layers, x, pos,
-                            pos_c, idx, mask, r, activation,
+                            idx, mask, r, activation, rel=rel,
                             interpret=interpret)
-        pos = pos_c
+        pos = entry[4] if len(entry) >= 5 else _gather(pos, entry[0])
     if len(conv_mlp) > len(radii):
         g = pointnet_pallas.pointnet_global(
             params["global_sa"]["mlp"], conv_mlp[-1],
@@ -313,11 +343,11 @@ def sa_mrg_fused(params: dict, in_features: int, n_dims: int, activation,
     d = n_dims
 
     def level(key, layers, xx, pp, nb, r):
-        cent, idx, mask = nb
-        pos_c = _gather(pp, cent)
-        out = sa_neighborhood(params[key]["conv_mlp"], layers, xx, pp, pos_c,
-                              idx, mask, r, activation, interpret=interpret)
-        return out, pos_c
+        idx, mask, rel = _level_rel(nb, pp, r)
+        out = sa_neighborhood(params[key]["conv_mlp"], layers, xx, pp, idx,
+                              mask, r, activation, rel=rel,
+                              interpret=interpret)
+        return out, (nb[4] if len(nb) >= 5 else _gather(pp, nb[0]))
 
     x1, p1 = level("branch1_sa0", [in_features + d, 64, 128], x, pos, nb0, 0.5)
     x1, p1 = level("branch1_sa1", [128 + d, 256], x1, p1, nb1, 1.0)
@@ -345,5 +375,5 @@ def enabled(activation, neighbors) -> bool:
             and (on_tpu() or FORCE))
 
 
-def supported(activation) -> bool:  # noqa: F811
+def supported(activation) -> bool:
     return _activation_name(activation) is not None

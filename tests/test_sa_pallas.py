@@ -21,7 +21,8 @@ def _setup(n=N, f_in=F_IN, layers=LAYERS, fraction=0.5, radius=0.6,
     x = jnp.asarray(rng.normal(size=(B, n, f_in)), jnp.float32)
     pos = jnp.asarray(rng.uniform(-1, 1, size=(B, n, D)), jnp.float32)
     nbrs = sa_chain_precompute(pos, [fraction], [radius], max_neighbors)
-    neighbors = (nbrs["sa_cent_0"], nbrs["sa_idx_0"], nbrs["sa_mask_0"])
+    neighbors = (nbrs["sa_cent_0"], nbrs["sa_idx_0"], nbrs["sa_mask_0"],
+                 nbrs["sa_rel_0"], nbrs["sa_posc_0"])
     module = SetAbstraction(fraction, radius, layers, max_neighbors,
                             activation=jax.nn.silu)
     params = unfreeze(module.init(jax.random.PRNGKey(1), x, pos, True,
@@ -30,10 +31,9 @@ def _setup(n=N, f_in=F_IN, layers=LAYERS, fraction=0.5, radius=0.6,
 
 
 def _fused(params, layers, x, pos, neighbors, r):
-    centroids, idx, mask = neighbors
-    pos_c = jax.vmap(lambda a, i: a[i])(pos, centroids)
+    centroids, idx, mask, rel = neighbors[:4]
     return sa_pallas.sa_neighborhood(params["conv_mlp"], layers, x, pos,
-                                     pos_c, idx, mask, r, jax.nn.silu)
+                                     idx, mask, r, jax.nn.silu, rel=rel)
 
 
 def test_forward_matches_dense():
@@ -55,11 +55,11 @@ def test_forward_single_layer():
 
 def test_empty_neighborhoods_zero():
     module, params, x, pos, neighbors = _setup(radius=0.05, max_neighbors=4)
-    centroids, idx, mask = neighbors
+    centroids, idx, mask = neighbors[:3]
     # force some fully-empty neighborhoods (a centroid is always its own
     # neighbor, so radius search alone never produces one)
     mask = mask.at[:, ::3].set(False)
-    neighbors = (centroids, idx, mask)
+    neighbors = (centroids, idx, mask) + neighbors[3:]
     dense, _ = module.apply({"params": params}, x, pos, True, neighbors)
     fused = _fused(params, LAYERS, x, pos, neighbors, module.r)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(dense),
@@ -99,7 +99,8 @@ def test_seq_fused_matches_module():
     pos = jnp.asarray(rng.uniform(-1, 1, size=(B, N, D)), jnp.float32)
     chain = sa_chain_precompute(pos, fractions, radii, 8)
     nbrs = [(chain[f"sa_cent_{i}"], chain[f"sa_idx_{i}"],
-             chain[f"sa_mask_{i}"]) for i in range(2)]
+             chain[f"sa_mask_{i}"], chain[f"sa_rel_{i}"],
+             chain[f"sa_posc_{i}"]) for i in range(2)]
     module = SetAbstractionSeq(fractions, radii, conv, return_skip=False,
                                activation=jax.nn.silu, max_neighbors=8)
     params = unfreeze(module.init(jax.random.PRNGKey(2), x, pos, True,
