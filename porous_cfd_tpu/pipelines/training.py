@@ -11,6 +11,8 @@ import argparse
 import os
 from argparse import ArgumentParser, Namespace
 
+import numpy as np
+
 from porous_cfd_tpu.data.dataset import FoamDataset
 from porous_cfd_tpu.models.base import PinnModel
 from porous_cfd_tpu.physics.scaling import LossScaler
@@ -56,6 +58,12 @@ def build_arg_parser() -> ArgumentParser:
                    help="epochs per logging/validation sync; values > 1 also "
                         "run that many epochs as one device program "
                         "(train scalars are still logged per epoch)")
+    p.add_argument("--resample-every", type=int, default=0,
+                   help="epochs between fresh point-cloud subsamples of the "
+                        "training cases (0 = reference behavior: sample once "
+                        "at load). Uses the cached full-resolution parses, "
+                        "keeps static shapes (no recompilation), and is "
+                        "deterministic in the epoch index (resume-safe)")
     p.add_argument("--mesh-data", type=int, default=0,
                    help="devices on the 'data' mesh axis (geometry-batch "
                         "data parallelism; XLA inserts the gradient psum "
@@ -95,7 +103,13 @@ def train(args: Namespace, model: PinnModel,
         shard_points = shard_points or flag_shard_points
     cfg = TrainerConfig(epochs=args.epochs, batch_size=args.batch_size,
                         logs_dir=args.logs_dir, name=args.name,
-                        log_every=getattr(args, "log_every", 1))
+                        log_every=getattr(args, "log_every", 1),
+                        resample_every=getattr(args, "resample_every", 0))
+
+    def resample_fn(round_idx: int):
+        train_data.resample(np.random.default_rng(
+            (cfg.seed, round_idx)))
+        return train_data.stacked()
     # --precision is honored on the forward-only surfaces (validation here,
     # inference via model_meta.json); physics/derivative graphs stay f32
     # (axon bf16 second-order miscompile, BASELINE.md).
@@ -104,7 +118,7 @@ def train(args: Namespace, model: PinnModel,
                       train_data.stacked(),
                       val_data.stacked() if val_data is not None else None,
                       cfg, loss_scaler, mesh, shard_points,
-                      model_type=args.model)
+                      model_type=args.model, resample_fn=resample_fn)
     trainer.write_model_meta(args.n_internal, args.n_boundary,
                              args.n_observations, args.precision)
     trainer.fit(resume_from=args.checkpoint)

@@ -46,6 +46,7 @@ class TrainerConfig:
     seed: int = 8421
     log_every: int = 1
     print_every: int = 50
+    resample_every: int = 0  # epochs between point-cloud resamples (0 = off)
 
 
 class Trainer:
@@ -56,12 +57,19 @@ class Trainer:
                  loss_scaler: Optional[LossScaler] = None,
                  mesh=None,
                  shard_points: bool = False,
-                 model_type: str = "model"):
+                 model_type: str = "model",
+                 resample_fn=None):
         """
         :param train_data: stacked (C, N, D) FoamData (``FoamDataset.stacked()``).
+        :param resample_fn: optional ``round_idx -> FoamData`` producing a
+            fresh stacked point subsample (same static shapes). Called when
+            training crosses a ``config.resample_every`` epoch boundary;
+            round_idx = epoch // resample_every, so resume replays the same
+            sample sequence as an uninterrupted run.
         """
         self.model = model
         self.train_data = train_data
+        self.resample_fn = resample_fn
         self.val_data = val_data
         self.config = config
         self.model_type = model_type
@@ -180,10 +188,19 @@ class Trainer:
         # chunk, at its last epoch. log_every=1 keeps exact reference cadence.
         chunk_size = cfg.log_every if (self.remainder == 0
                                        and cfg.log_every > 1) else 1
+        resample = (cfg.resample_every
+                    if cfg.resample_every > 0 and self.resample_fn else 0)
+        sample_round = 0
         epoch = start_epoch
         while epoch < cfg.epochs:
+            if resample and epoch // resample != sample_round:
+                sample_round = epoch // resample
+                dataset = jax.device_put(self.model.attach_neighbors(
+                    self.resample_fn(sample_round)))
             k = min(chunk_size, cfg.epochs - epoch,
                     cfg.checkpoint_every - epoch % cfg.checkpoint_every)
+            if resample:
+                k = min(k, resample - epoch % resample)
             if k > 1:
                 perms = np.stack(
                     [self._epoch_perm(host_rng)[0] for _ in range(k)])

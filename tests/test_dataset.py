@@ -234,3 +234,23 @@ def test_manufactured_dataset(tmp_path):
     np.testing.assert_allclose(np.asarray(case["U"]), u, atol=1e-5)
     np.testing.assert_allclose(np.asarray(case["p"]), p, atol=1e-5)
     np.testing.assert_allclose(np.asarray(case["f"]), forcing, atol=1e-5)
+
+
+def test_resample_fresh_points_same_shapes(foam_root):
+    ds = FoamDataset(str(foam_root / "train"), 64, 40, 8,
+                     np.random.default_rng(7))
+    before = ds[0].data.copy()
+    labels = ds[0].labels
+    ds.resample(np.random.default_rng(99))
+    after = ds[0].data
+    assert after.shape == before.shape
+    assert ds[0].labels == labels
+    assert not np.array_equal(after, before)  # actually a fresh draw
+    # deterministic in the rng: same seed -> same sample
+    ds2 = FoamDataset(str(foam_root / "train"), 64, 40, 8,
+                      np.random.default_rng(7))
+    ds2.resample(np.random.default_rng(99))
+    np.testing.assert_array_equal(np.asarray(ds2[0].data), np.asarray(after))
+    # normalization statistics survive the re-normalize of cached parses
+    u = np.asarray(ds.stacked()["U"]).reshape(-1, 2)
+    assert abs(u.mean()) < 0.5 and 0.3 < u.std() < 2.0

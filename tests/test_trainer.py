@@ -119,3 +119,39 @@ def test_chunked_epochs_match_per_epoch(tmp_path):
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(states["chunked"].step) == int(states["per-epoch"].step)
+
+
+def test_resample_refreshes_dataset_and_resume_matches(tmp_path):
+    """resample_every swaps in fresh point subsamples at deterministic epoch
+    boundaries; resume across a boundary replays the same sample sequence."""
+    model = tiny_model()
+    calls = []
+
+    def resample_fn(round_idx):
+        calls.append(round_idx)
+        return make_data(4, seed=1000 + round_idx)
+
+    cfg = dict(batch_size=2, checkpoint_every=2, resample_every=2)
+    t_full = Trainer(model, make_data(4), None,
+                     TrainerConfig(epochs=6, logs_dir=str(tmp_path / "f"),
+                                   name="x", **cfg),
+                     model_type="pipn", resample_fn=resample_fn)
+    s_full = t_full.fit()
+    assert calls == [1, 2]  # rounds at epochs 2 and 4 (round 0 = initial)
+
+    calls.clear()
+    t_ab = Trainer(model, make_data(4), None,
+                   TrainerConfig(epochs=6, logs_dir=str(tmp_path / "ab"),
+                                 name="x", **cfg),
+                   model_type="pipn", resample_fn=resample_fn)
+    t_ab.config.epochs = 4
+    t_ab.fit()
+    t_ab.config.epochs = 6
+    ckpt = tmp_path / "ab" / "lightning_logs" / "x" / "checkpoint-epoch=4.ckpt"
+    s_res = t_ab.fit(resume_from=str(ckpt))
+    assert calls[-1] == 2  # resumed run re-applies round 2 for epochs 4-6
+
+    import jax
+    for a, b in zip(jax.tree_util.tree_leaves(s_full.params),
+                    jax.tree_util.tree_leaves(s_res.params)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)

@@ -74,23 +74,29 @@ SPLITS = {"train": 0.6, "val": 0.2, "test": 0.2}
 SEED = 8421
 
 
-def rotations(spec):
+def rotations(spec, rot_mult=1):
     if not spec:
         return [0.0]
-    return np.linspace(spec[0], spec[1], int(spec[2])).tolist()
+    n = int(spec[2]) + (int(spec[2]) - 1) * (rot_mult - 1)
+    return np.linspace(spec[0], spec[1], n).tolist()
 
 
-def scale_grid():
-    s = np.linspace(0.75, 1.0, 2)
+def scale_grid(scale_n=2):
+    s = np.linspace(0.75, 1.0, scale_n)
     return [(float(a), float(b)) for a in s for b in s]
 
 
-def enumerate_meshes():
-    """All transformed geometries (shape, rotation deg, sx, sy)."""
+def enumerate_meshes(scale_n=2, rot_mult=1):
+    """All transformed geometries (shape, rotation deg, sx, sy).
+
+    ``scale_n``/``rot_mult`` densify the reference grid (scale linspace gets
+    scale_n points per axis; rotation linspaces get intermediate midpoints)
+    while keeping the reference corners, for data-scaling studies.
+    """
     out = []
     for shape, rot in TRANSFORMS.items():
-        for r in rotations(rot):
-            for sx, sy in scale_grid():
+        for r in rotations(rot, rot_mult):
+            for sx, sy in scale_grid(scale_n):
                 out.append({"shape": shape, "rot": float(r),
                             "sx": sx, "sy": sy})
     return out
@@ -187,10 +193,16 @@ def main():
     ap.add_argument("--keep-p", type=float, default=0.05,
                     help="variable mode: per-combination keep probability "
                          "(reference drop_p semantics)")
+    ap.add_argument("--scale-n", type=int, default=2,
+                    help="points per scale axis in linspace(0.75, 1.0, n); "
+                         "2 = reference grid, 3 = densified")
+    ap.add_argument("--rot-mult", type=int, default=1,
+                    help="rotation densification: 2 inserts midpoints into "
+                         "every reference rotation linspace")
     args = ap.parse_args()
 
     rng = np.random.default_rng(SEED)
-    meshes = enumerate_meshes()
+    meshes = enumerate_meshes(args.scale_n, args.rot_mult)
     if args.mode == "fixed":
         root = args.root or "data/golden_grid"
         splits = split_cases(meshes, rng)
