@@ -43,12 +43,32 @@ VAL_CASES = [
 ]
 
 
-def generate(root: Path, nx: int, ny: int, nz: int):
+def zoo_cases(n_train: int, n_val: int, seed: int = 8421):
+    """Parametric random 3D case zoo over the same envelope as the
+    hand-written lists (shape x center x size x inlet speed)."""
+    rng = np.random.default_rng(seed)
+    shapes = ["sphere", "box", "cylinder"]
+
+    def draw():
+        return (shapes[int(rng.integers(3))],
+                (float(rng.uniform(0.0, 0.18)),
+                 float(rng.uniform(-0.04, 0.04)),
+                 float(rng.uniform(-0.04, 0.04))),
+                float(rng.uniform(0.10, 0.14)),
+                float(rng.uniform(0.15, 0.20)))
+
+    return ([draw() for _ in range(n_train)],
+            [draw() for _ in range(n_val)])
+
+
+def generate(root: Path, nx: int, ny: int, nz: int,
+             train_cases=None, val_cases=None):
     from porous_cfd_tpu.datagen import fvm3d
     from porous_cfd_tpu.datagen.meta import generate_meta, generate_min_points
     from porous_cfd_tpu.datagen.synthetic_case import write_data_config
 
-    for split, cases in [("train", TRAIN_CASES), ("val", VAL_CASES)]:
+    for split, cases in [("train", train_cases or TRAIN_CASES),
+                         ("val", val_cases or VAL_CASES)]:
         print(f"[{split}] solving {len(cases)} 3D cases at {nx}x{ny}x{nz}",
               flush=True)
         for i, (shape, center, size, u_in) in enumerate(cases):
@@ -88,16 +108,25 @@ def main():
     ap.add_argument("--n-internal", type=int, default=1500)
     ap.add_argument("--n-boundary", type=int, default=1000)
     ap.add_argument("--n-obs", type=int, default=700)
+    ap.add_argument("--zoo", type=int, default=0,
+                    help="generate a parametric random zoo of this many "
+                         "train cases (plus ~1/4 val) instead of the "
+                         "hand-written 8+3 list")
+    ap.add_argument("--resample-every", type=int, default=0)
+    ap.add_argument("--name", default="golden3d-pipn")
+    ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--reuse-data", action="store_true")
     ap.add_argument("--reuse-ckpt", action="store_true")
     args = ap.parse_args()
 
     root = Path(args.root).resolve()
+    tr_cases, va_cases = (zoo_cases(args.zoo, max(3, args.zoo // 4))
+                          if args.zoo else (None, None))
     if not args.reuse_data or not (root / "train").exists():
-        generate(root, args.nx, args.ny, args.nz)
+        generate(root, args.nx, args.ny, args.nz, tr_cases, va_cases)
 
     logs_dir = root / "logs"
-    name = "golden3d-pipn"
+    name = args.name
     ckpt = logs_dir / "lightning_logs" / name / "model.ckpt"
     wall = float("nan")
     if not (args.reuse_ckpt and ckpt.exists()):
@@ -108,7 +137,9 @@ def main():
             "--train-dir", str(root / "train"), "--val-dir", str(root / "val"),
             "--n-internal", str(args.n_internal),
             "--n-boundary", str(args.n_boundary),
-            "--n-observations", str(args.n_obs), "--batch-size", "8",
+            "--n-observations", str(args.n_obs),
+            "--batch-size", str(args.batch_size),
+            "--resample-every", str(args.resample_every),
             "--logs-dir", str(logs_dir), "--log-every", "25",
             "--fast-derivatives",
         ], check=True, cwd=REPO)
@@ -151,11 +182,13 @@ def main():
 
     lines = ["", "## 3D solved ground truth (abc-protocol duct, in-repo 3D "
              "FVM solver)", "",
-             f"{len(TRAIN_CASES)} solved 3D duct cases "
+             f"{args.zoo or len(TRAIN_CASES)} solved 3D duct cases "
              f"({args.nx}x{args.ny}x{args.nz} grid, porous sphere/box/"
-             f"cylinder obstacles, variable inlet speed), {len(VAL_CASES)} "
+             f"cylinder obstacles, variable inlet speed), "
+             f"{max(3, args.zoo // 4) if args.zoo else len(VAL_CASES)} "
              f"held-out; abc coefficients (d={D:g}, f={F}), PIPN through "
-             f"the examples/abc CLI ({args.epochs} epochs, batch 8, "
+             f"the examples/abc CLI ({args.epochs} epochs, "
+             f"batch {args.batch_size}, "
              f"{args.n_internal}/{args.n_boundary}/{args.n_obs} points, "
              "seed 8421) on 1 TPU chip.", "",
              "| Wall | Trained rel-L2 (U / p) | Held-out rel-L2 (U / p) |",

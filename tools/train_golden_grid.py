@@ -27,7 +27,8 @@ def rel_l2(pred, ref):
 
 
 def train(root: Path, name: str, epochs: int, fast: bool, logs_dir: Path,
-          n_boundary: int, model: str = "pipn", decoupled: bool = False):
+          n_boundary: int, model: str = "pipn", decoupled: bool = False,
+          resample_every: int = 0):
     args = [
         sys.executable, str(REPO / "examples/duct_fixed_boundary/train.py"),
         "--model", model, "--name", name, "--epochs", str(epochs),
@@ -35,6 +36,7 @@ def train(root: Path, name: str, epochs: int, fast: bool, logs_dir: Path,
         "--n-internal", "1500", "--n-boundary", str(n_boundary),
         "--n-observations", "700", "--batch-size", "13",
         "--logs-dir", str(logs_dir), "--log-every", "25",
+        "--resample-every", str(resample_every),
     ] + (["--fast-derivatives"] if fast else []) \
       + (["--decoupled-context"] if decoupled else [])
     t0 = time.time()
@@ -96,6 +98,8 @@ def main():
     ap.add_argument("--model", default="pipn")
     ap.add_argument("--n-boundary", type=int, default=350)
     ap.add_argument("--skip-exact", action="store_true")
+    ap.add_argument("--resample-every", type=int, default=0)
+    ap.add_argument("--tag", default="grid")
     ap.add_argument("--reuse-ckpt", action="store_true")
     ap.add_argument("--skip-eval", action="store_true")
     args = ap.parse_args()
@@ -106,20 +110,24 @@ def main():
     for key, fast, dec in [("analytic", True, False),
                            ("decoupled", True, True)] + (
             [] if args.skip_exact else [("exact", False, False)]):
-        name = f"grid-{args.model}-{key}"
+        name = f"{args.tag}-{args.model}-{key}"
         ckpt = logs_dir / "lightning_logs" / name / "model.ckpt"
         wall = float("nan")
         if not (args.reuse_ckpt and ckpt.exists()):
             wall = train(root, name, args.epochs, fast, logs_dir,
-                         args.n_boundary, args.model, dec)
+                         args.n_boundary, args.model, dec,
+                         args.resample_every)
         results[key] = score(root, name, fast, logs_dir, args.n_boundary,
                              wall, args.model)
         print(json.dumps(results[key], indent=2), flush=True)
 
+    n_tr, n_va, n_te = (sum(1 for d in (root / s).iterdir() if d.is_dir())
+                        for s in ("train", "val", "test"))
     lines = ["", "## Reference-scale transform grid "
              f"(duct_fixed_boundary, {args.model}, FVM CFD ground truth)", "",
-             "160-case transform grid (11 primitives x rotations x x/y "
-             "scales per the reference transforms.json), 96/32/32 "
+             f"{n_tr + n_va + n_te}-case transform grid (11 primitives "
+             "x rotations x x/y scales per the reference transforms.json), "
+             f"{n_tr}/{n_va}/{n_te} "
              "train/val/test split with held-out geometry variants; "
              f"reference envelope (batch 13, 1500/{args.n_boundary}/700 "
              f"points, {args.epochs} epochs, seed 8421) through the "
