@@ -179,6 +179,7 @@ class Trainer:
         host_rng = np.random.default_rng(cfg.seed)
         for _ in range(start_epoch):  # replay shuffles so resume == uninterrupted
             self._epoch_perm(host_rng)
+        self._best, self._best_val = None, float("inf")
         t0 = time.time()
         # Epoch-chunk size: with ``log_every`` > 1 and no remainder batch, run
         # that many epochs as ONE device program (engine.train_epochs) — the
@@ -247,6 +248,10 @@ class Trainer:
                         [f"Validation {l}"
                          for l in error_labels(self.model.dims)], val):
                     self.writer.add_scalar(label, float(v), last - 1)
+                val_mean = float(np.mean(val))
+                if val_mean < self._best_val:
+                    self._best_val = val_mean
+                    self._best = (jax.device_get(state.params), last)
 
             if last % cfg.checkpoint_every == 0:
                 self.save_checkpoint(state, last,
@@ -259,6 +264,13 @@ class Trainer:
             epoch = last
 
         self.save_checkpoint(state, cfg.epochs, "model.ckpt")
+        if self._best is not None:
+            # best-validation weights alongside the reference-cadence final
+            # checkpoint (same payload schema; opt_state is the final one)
+            best_params, best_epoch = self._best
+            self.save_checkpoint(
+                dataclasses.replace(state, params=best_params),
+                best_epoch, "best.ckpt")
         if self._writer is not None:
             self._writer.flush()
         return state

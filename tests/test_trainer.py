@@ -35,6 +35,7 @@ def test_fit_writes_artifacts(tmp_path):
         meta = json.load(f)
     assert meta["Model type"] == "pipn"
     assert (log_dir / "model.ckpt").exists()
+    assert (log_dir / "best.ckpt").exists()  # best-validation weights
     assert (log_dir / "checkpoint-epoch=2.ckpt").exists()
     assert (log_dir / "checkpoint-epoch=4.ckpt").exists()
     assert list(log_dir.glob("events.out.tfevents.*"))  # tensorboard
