@@ -1,0 +1,105 @@
+"""Component-level timing of the plain PI-GANO training step at the bench
+envelope: full step, derivative forward, and each encoder stage in isolation
+(geometry PointNet-global, branch, points-encoder (v,J,H) local chain, fused
+NeuralOperator trunk), with transfer-synced measurements.
+
+Usage: python tools/profile_gano.py
+"""
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def timed(fn, *args, n=15, warmup=2):
+    from porous_cfd_tpu.utils import profiling
+    dt, _ = profiling.timed(fn, *args, n=n, warmup=warmup)
+    return round(dt * 1e3, 2)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bench import BATCH, N_BOUNDARY, N_CASES, N_INTERNAL, N_OBS, make_model
+    from porous_cfd_tpu.data.foam_data import split_contiguous
+    from porous_cfd_tpu.data.synthetic import make_foam_batch
+    from porous_cfd_tpu.models.pi_gano import (_trunk_prop_dispatch,
+                                               gather_parameters)
+    from porous_cfd_tpu.models.pipn import _pointnet_global_dispatch
+    from porous_cfd_tpu.physics import analytic
+    from porous_cfd_tpu.train.engine import (gather_cases, make_optimizer,
+                                             make_train_functions)
+    from porous_cfd_tpu.utils.profiling import steps_per_sec
+
+    rng = np.random.default_rng(8421)
+    dataset = jax.device_put(make_foam_batch(
+        N_CASES, N_INTERNAL, N_BOUNDARY, N_OBS, rng=rng))
+    model, scaler = make_model("pi_gano")
+    batch = gather_cases(dataset, jnp.arange(BATCH))
+    tx = make_optimizer(model, N_CASES // BATCH)
+    fns = make_train_functions(model, tx, loss_scaler=scaler)
+    state = fns.init_state(batch)
+    module = model.module
+    act = module.activation
+
+    report = {}
+    rate, state = steps_per_sec(fns.train_step, state, batch, n_steps=20)
+    report["train_step_ms"] = round(1e3 / rate, 2)
+    params = state.params
+
+    dapply = jax.jit(lambda p, b: model.derivative_apply(p, b, None, True))
+    report["derivative_fwd_ms"] = timed(dapply, params, batch)
+
+    internal_view, boundary_view = split_contiguous(batch)
+    x_int, x_bnd = internal_view["C"], boundary_view["C"]
+    pts_all = jnp.concatenate([x_int, x_bnd], axis=-2)
+    geom_in = jnp.concatenate(
+        [jnp.concatenate([batch["boundaryId"], batch["sdf"]], axis=-1),
+         pts_all], axis=-1)
+    par_features = gather_parameters(batch, module.variable_boundaries)
+
+    def geom_fn(p):
+        return _pointnet_global_dispatch(p["geometry_encoder"]["linear"],
+                                         module.geometry_layers, geom_in, act)
+
+    def branch_fn(p):
+        return _pointnet_global_dispatch(p["branch"]["linear"],
+                                         module.branch_layers, par_features,
+                                         act)
+
+    def local_fn(p):
+        j0t, h0t = analytic.identity_jacobian_t(x_int)
+        return analytic.mlp_prop_t(p["points_encoder"], module.local_layers,
+                                   x_int, j0t, h0t, act)
+
+    def trunk_fn(p):
+        geom = geom_fn(p)
+        par = branch_fn(p)
+        lv_b = analytic.mlp_value(p["points_encoder"], module.local_layers,
+                                  x_bnd, act)
+        return _trunk_prop_dispatch(p, module, lambda transposed: local_fn(p),
+                                    lv_b, geom, par, act, True, None)
+
+    for name, fn in [("geometry_fwd", geom_fn), ("branch_fwd", branch_fn),
+                     ("local_vjh_fwd", local_fn)]:
+        report[f"{name}_ms"] = timed(jax.jit(fn), params)
+        grad = jax.jit(jax.grad(
+            lambda p, f=fn: sum(jnp.sum(x ** 2) for x in jax.tree_util
+                                .tree_leaves(f(p)))))
+        report[f"{name}bwd_ms"] = timed(grad, params)
+
+    report["encoders+trunk_fwd_ms"] = timed(jax.jit(trunk_fn), params)
+    tgrad = jax.jit(jax.grad(
+        lambda p: sum(jnp.sum(x ** 2)
+                      for x in jax.tree_util.tree_leaves(trunk_fn(p)))))
+    report["encoders+trunk_fwdbwd_ms"] = timed(tgrad, params)
+
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

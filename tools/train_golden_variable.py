@@ -39,11 +39,13 @@ def main():
     ap.add_argument("--n-obs", type=int, default=700)
     ap.add_argument("--reuse-ckpt", action="store_true")
     ap.add_argument("--skip-eval", action="store_true")
+    ap.add_argument("--resample-every", type=int, default=0)
+    ap.add_argument("--tag", default="goldenvar")
     args = ap.parse_args()
 
     root = Path(args.root).resolve()
     logs_dir = root / "logs"
-    name = f"goldenvar-{args.model}"
+    name = f"{args.tag}-{args.model}"
     ckpt = logs_dir / "lightning_logs" / name / "model.ckpt"
     wall = float("nan")
     if not (args.reuse_ckpt and ckpt.exists()):
@@ -58,6 +60,7 @@ def main():
             "--n-boundary", str(args.n_boundary),
             "--n-observations", str(args.n_obs), "--batch-size", "13",
             "--logs-dir", str(logs_dir), "--log-every", "25",
+            "--resample-every", str(args.resample_every),
         ], check=True, cwd=REPO)
         wall = time.time() - t0
 
