@@ -20,6 +20,42 @@ def timed(fn, *args, n=15, warmup=2):
     return round(dt * 1e3, 2)
 
 
+def scan_delta_ms(make_out, n=30):
+    """Device ms/iteration of ``make_out(eps_scalar) -> pytree``, measured as
+    a scan of n vs 2n serialized iterations inside single jit programs (the
+    delta cancels dispatch + sync latency; every output leaf is summed into
+    the carry so nothing is dead-code-eliminated, and the carry feeds the
+    next iteration so nothing is hoisted)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    def prog(length):
+        @jax.jit
+        def f(seed):
+            def body(carry, _):
+                out = make_out(carry)
+                s = sum(jnp.sum(leaf)
+                        for leaf in jax.tree_util.tree_leaves(out))
+                return carry + s * 1e-30, ()
+            c, _ = jax.lax.scan(body, seed, None, length=length)
+            return c
+        return f
+
+    times = []
+    for length in (n, 2 * n):
+        f = prog(length)
+        np.asarray(f(jnp.zeros(())))        # compile + warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            np.asarray(f(jnp.zeros(())))
+            best = min(best, time.perf_counter() - t0)
+        times.append(best)
+    return round((times[1] - times[0]) / n * 1e3, 3)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -84,19 +120,49 @@ def main():
         return _trunk_prop_dispatch(p, module, lambda transposed: local_fn(p),
                                     lv_b, geom, par, act, True, None)
 
-    for name, fn in [("geometry_fwd", geom_fn), ("branch_fwd", branch_fn),
-                     ("local_vjh_fwd", local_fn)]:
-        report[f"{name}_ms"] = timed(jax.jit(fn), params)
-        grad = jax.jit(jax.grad(
-            lambda p, f=fn: sum(jnp.sum(x ** 2) for x in jax.tree_util
-                                .tree_leaves(f(p)))))
-        report[f"{name}bwd_ms"] = timed(grad, params)
+    # scan-serialized device timings (delta method — no dispatch pollution).
+    # eps perturbs the float inputs so XLA can neither hoist nor DCE.
+    def perturb(tree, eps):
+        return jax.tree_util.tree_map(
+            lambda a: a + eps * 1e-30
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
 
-    report["encoders+trunk_fwd_ms"] = timed(jax.jit(trunk_fn), params)
-    tgrad = jax.jit(jax.grad(
-        lambda p: sum(jnp.sum(x ** 2)
-                      for x in jax.tree_util.tree_leaves(trunk_fn(p)))))
-    report["encoders+trunk_fwdbwd_ms"] = timed(tgrad, params)
+    geom0, par0 = geom_fn(params), branch_fn(params)
+    lv_b0 = analytic.mlp_value(params["points_encoder"], module.local_layers,
+                               x_bnd, act)
+
+    def local_trunk(eps):
+        xi = x_int + eps * 1e-30
+
+        def lv_fn(transposed=False):
+            j0t, h0t = analytic.identity_jacobian_t(xi)
+            return analytic.mlp_prop_t(params["points_encoder"],
+                                       module.local_layers, xi, j0t, h0t, act)
+
+        return _trunk_prop_dispatch(params, module, lv_fn, lv_b0, geom0,
+                                    par0, act, True, None)
+
+    report["scan_derivative_fwd_ms"] = scan_delta_ms(
+        lambda e: model.derivative_apply(params, perturb(batch, e), None,
+                                         True))
+    report["scan_local+trunk_fwd_ms"] = scan_delta_ms(local_trunk)
+    report["scan_local_vjh_ms"] = scan_delta_ms(
+        lambda e: local_fn(perturb(params, e)))
+    report["scan_geometry_ms"] = scan_delta_ms(
+        lambda e: geom_fn(perturb(params, e)))
+    report["scan_branch_ms"] = scan_delta_ms(
+        lambda e: branch_fn(perturb(params, e)))
+    from porous_cfd_tpu.train.engine import compute_losses
+    key = jax.random.PRNGKey(0)
+
+    def full_grad(e):
+        def lf(p):
+            losses, _ = compute_losses(model, p, batch, key,
+                                       deterministic=False)
+            return jnp.sum(losses)
+        return jax.grad(lf)(perturb(params, e))
+
+    report["scan_loss_grad_ms"] = scan_delta_ms(full_grad, n=10)
 
     print(json.dumps(report, indent=2))
 

@@ -97,9 +97,11 @@ def main():
         }
     print(json.dumps(scores, indent=2))
 
+    n_cases = sum(sum(1 for d in (root / s).iterdir() if d.is_dir())
+                  for s in ("train", "val", "test"))
     lines = ["", f"## Variable-coefficient CFD ground truth "
              f"(duct_variable_boundary, {args.model}, FVM solver)", "",
-             "158 solved cases sweeping the reference's (d, f) coefficient "
+             f"{n_cases} solved cases sweeping the reference's (d, f) coefficient "
              "grid (incl. the anisotropic d = [12000, 20000] pair) x 5 inlet "
              "speeds x random inlet angle in [-30, 30] deg x transformed-"
              "mesh zoo (keep-p protocol), split 60/20/20 with held-out "
