@@ -258,13 +258,24 @@ def pi_gano_apply_with_derivatives(module: PiGanoModule):
         pts_all = jnp.concatenate([x_int, x_bnd], axis=-2)
         act = module.activation
 
-        # pooled context: geometry + branch embeddings (value-only)
+        # pooled context: geometry + branch embeddings (value-only). Their
+        # inputs are pure functions of the DATA (the reference stop-gradients
+        # the geometry coords and the branch context is constant in x), so
+        # they are precomputed per dataset by _gano_inputs_precompute and
+        # carried in the domain aux — the per-step FoamData label/subdomain
+        # selects cost ~4.3 ms/step on TPU, 4x the actual encoder compute.
         from porous_cfd_tpu.models.pipn import _pointnet_global_dispatch
-        geom_in = jnp.concatenate([batch["boundaryId"], batch["sdf"]], axis=-1)
+        geom_full = batch.domain.get("_gano_geom_in")
+        if geom_full is None:
+            geom_in = jnp.concatenate([batch["boundaryId"], batch["sdf"]],
+                                      axis=-1)
+            geom_full = jnp.concatenate([geom_in, pts_all], axis=-1)
         geom = _pointnet_global_dispatch(
             params["geometry_encoder"]["linear"], module.geometry_layers,
-            jnp.concatenate([geom_in, pts_all], axis=-1), act)
-        par_features = gather_parameters(batch, module.variable_boundaries)
+            geom_full, act)
+        par_features = batch.domain.get("_gano_par")
+        if par_features is None:
+            par_features = gather_parameters(batch, module.variable_boundaries)
         par = _pointnet_global_dispatch(params["branch"]["linear"],
                                         module.branch_layers, par_features,
                                         act)
@@ -378,6 +389,25 @@ def pi_gano_pp_apply_with_derivatives(module: PiGanoPpModule):
     return fn
 
 
+def _gano_inputs_precompute(variable_boundaries: VariableBoundaries):
+    """Dataset-level aux for the plain PI-GANO analytic path: the geometry
+    encoder input [boundaryId || sdf || C] and the branch input
+    (gather_parameters) are pure functions of the data, so build them ONCE
+    per (re)sampled dataset instead of re-selecting label columns inside
+    every jitted step (measured 4.3 ms/step of TPU select/concat work)."""
+
+    def precompute(dataset: FoamData):
+        internal_view, boundary_view = split_contiguous(dataset)
+        pts_all = jnp.concatenate([internal_view["C"], boundary_view["C"]],
+                                  axis=-2)
+        geom_in = jnp.concatenate(
+            [dataset["boundaryId"], dataset["sdf"], pts_all], axis=-1)
+        return {"_gano_geom_in": geom_in,
+                "_gano_par": gather_parameters(dataset, variable_boundaries)}
+
+    return precompute
+
+
 def _pi_gano_model(module, dims, nu, scalers,
                    derivative_apply=None, neighbor_precompute=None) -> PinnModel:
     u_s, p_s, c_s = scalers["U"], scalers["p"], scalers["C"]
@@ -403,6 +433,8 @@ def pi_gano(nu: float, out_features: int, branch_layers, geometry_layers,
                           variable_boundaries, activation, full, dtype=dtype)
     return _pi_gano_model(module, out_features - 1, nu, scalers,
                           pi_gano_apply_with_derivatives(module)
+                          if fast_derivatives else None,
+                          _gano_inputs_precompute(variable_boundaries)
                           if fast_derivatives else None)
 
 
