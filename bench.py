@@ -21,15 +21,25 @@ published numbers (BASELINE.md). We use a reference-favorable estimate of
 30 steps/s for its training step on a modern datacenter GPU (1 + D + D^2 = 7
 sequential autograd graph replays + Lightning dispatch; the host-measured
 torch-CPU data point is 0.005 steps/s). vs_baseline = value / 30.
+
+Flake guard: the axon TPU backend can hang inside backend init (it killed
+both round-3 driver artifacts). The default invocation therefore (1) probes
+backend init in a SUBPROCESS with a bounded timeout, (2) runs the actual
+benchmark in a second bounded subprocess, and (3) always prints exactly one
+parseable JSON line — on failure `{"value": null, "error": ...}` with rc 0 —
+so the driver's BENCH record is machine-readable no matter what the TPU does.
+``--inner`` runs the benchmark directly (no guard).
 """
 import json
-from porous_cfd_tpu.utils.cache import enable_persistent_cache
-enable_persistent_cache()
-
+import os
 import sys
 import time
 
 import numpy as np
+
+METRIC = "train_steps_per_sec_per_chip (2D duct PIPN, batch 13, 2500 pts)"
+PROBE_TIMEOUT_S = int(os.environ.get("BENCH_PROBE_TIMEOUT", "240"))
+BENCH_TIMEOUT_S = int(os.environ.get("BENCH_TIMEOUT", "2100"))
 
 REFERENCE_GPU_STEPS_PER_SEC = 30.0  # favorable estimate, see BASELINE.md
 
@@ -171,7 +181,10 @@ def exact_roofline(dataset, rate_exact: float, rate_analytic: float) -> dict:
         return {"error": str(e)}
 
 
-def main():
+def run_bench():
+    from porous_cfd_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     import jax
 
     from porous_cfd_tpu.data.synthetic import make_foam_batch
@@ -204,5 +217,56 @@ def main():
     print(json.dumps(out))
 
 
+def _error_record(reason: str, detail: str = "") -> str:
+    return json.dumps({"metric": METRIC, "value": None, "unit": "steps/s",
+                       "vs_baseline": None, "error": reason,
+                       "detail": detail.strip()[-500:]})
+
+
+def _run_guarded(cmd, timeout_s):
+    """Run ``cmd`` killing it hard on timeout (a hung axon backend ignores
+    SIGTERM-able teardown; subprocess.run's timeout path SIGKILLs)."""
+    import subprocess
+    try:
+        p = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout_s)
+        return p.returncode, p.stdout, p.stderr
+    except subprocess.TimeoutExpired as e:
+        def _txt(b):
+            return b.decode(errors="replace") if isinstance(b, bytes) else (b or "")
+        return -9, _txt(e.stdout), _txt(e.stderr) + f"\n[killed after {timeout_s}s]"
+
+
+def main():
+    """Guarded entry: probe backend init, then run the benchmark, both in
+    bounded subprocesses; always print exactly one JSON line and exit 0."""
+    here = os.path.abspath(__file__)
+    rc, out, err = _run_guarded(
+        [sys.executable, "-c",
+         "import jax, jax.numpy as jnp;"
+         "print('PROBE_OK', jax.devices()[0].platform,"
+         " float(jnp.ones(8).sum()))"],
+        PROBE_TIMEOUT_S)
+    if rc != 0 or "PROBE_OK" not in out:
+        print(_error_record(
+            "tpu-unavailable: backend init failed or hung "
+            f"(probe rc={rc}, timeout {PROBE_TIMEOUT_S}s)", err or out))
+        return
+    rc, out, err = _run_guarded(
+        [sys.executable, here, "--inner"] +
+        [a for a in sys.argv[1:] if a != "--inner"], BENCH_TIMEOUT_S)
+    line = next((l for l in reversed(out.splitlines())
+                 if l.startswith("{")), None)
+    if rc == 0 and line is not None:
+        print(line)
+    else:
+        print(_error_record(
+            f"benchmark subprocess failed (rc={rc}, "
+            f"timeout {BENCH_TIMEOUT_S}s)", err or out))
+
+
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv:
+        run_bench()
+    else:
+        main()

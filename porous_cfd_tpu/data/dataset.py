@@ -75,6 +75,11 @@ class FoamDataset:
 
         self.check_sample_size()
 
+        # Pristine full-resolution parses are only retained once resample()
+        # is first called (training-with-resampling is the sole consumer);
+        # val/test/eval datasets would otherwise pin every case's full parse
+        # in host RAM for their lifetime (ADVICE r3).
+        self._cache_parses = False
         self._parse_cache: dict[str, tuple[Table, dict[str, Table]]] = {}
         self.data = [self.load_case(str(c)) for c in self.samples]
 
@@ -268,16 +273,23 @@ class FoamDataset:
         return labels
 
     def _parsed_case(self, case_dir: str) -> tuple[Table, dict[str, Table]]:
-        """Parse once per case, return fresh copies (``load_case`` mutates
-        its tables via normalize/sampling). The pristine parse is cached so
-        :meth:`resample` costs only the sampling/feature stage, not IO."""
-        if case_dir not in self._parse_cache:
+        """Parse a case, returning fresh copies (``load_case`` mutates its
+        tables via normalize/sampling). Pristine parses are cached only when
+        ``_cache_parses`` is on (flipped by :meth:`resample`), so resampling
+        rounds cost only the sampling/feature stage, not IO — while datasets
+        that never resample keep parse-and-discard memory behavior."""
+        cached = self._parse_cache.get(case_dir)
+        if cached is None:
             internal = parser.parse_internal_fields(case_dir, *self.fields,
                                                     max_dim=self.n_dims)
             patches = parser.parse_boundary_fields(case_dir, *self.fields,
                                                    max_dim=self.n_dims)
-            self._parse_cache[case_dir] = (internal, patches)
-        internal, patches = self._parse_cache[case_dir]
+            if self._cache_parses:
+                self._parse_cache[case_dir] = (internal, patches)
+            else:
+                return internal, patches  # sole reference; no copy needed
+        else:
+            internal, patches = cached
         return ({f: v.copy() for f, v in internal.items()},
                 {n: {f: v.copy() for f, v in t.items()}
                  for n, t in patches.items()})
@@ -291,7 +303,11 @@ class FoamDataset:
         reference samples once on instantiation (foam_dataset.py:100);
         periodic resampling during long trainings exposes more of each
         case's stored field and measurably improves held-out accuracy.
+
+        The first call re-parses each case once and starts caching the
+        pristine parses; later rounds are IO-free.
         """
+        self._cache_parses = True
         self.rng = rng
         self.data = [self.load_case(str(c)) for c in self.samples]
 

@@ -58,6 +58,11 @@ def build_arg_parser() -> ArgumentParser:
                    help="epochs per logging/validation sync; values > 1 also "
                         "run that many epochs as one device program "
                         "(train scalars are still logged per epoch)")
+    p.add_argument("--val-every", type=int, default=0,
+                   help="epochs between validation passes (and best.ckpt "
+                        "selection); 0 = once per --log-every chunk. Set "
+                        "below --log-every to keep fine-grained best-"
+                        "checkpoint selection with batched device programs")
     p.add_argument("--resample-every", type=int, default=0,
                    help="epochs between fresh point-cloud subsamples of the "
                         "training cases (0 = reference behavior: sample once "
@@ -84,7 +89,9 @@ def mesh_from_args(args: Namespace):
     if not data and points <= 1:
         return None, False
     from porous_cfd_tpu.parallel.mesh import make_mesh
-    mesh = make_mesh(data=None if data in (0, -1) else data,
+    # only -1 auto-fills the data axis; 0 means exactly what the help says
+    # ("single device"), so --mesh-points alone builds a (1, P) mesh
+    mesh = make_mesh(data=None if data == -1 else max(1, data),
                      points=max(1, points))
     return mesh, points > 1
 
@@ -104,6 +111,7 @@ def train(args: Namespace, model: PinnModel,
     cfg = TrainerConfig(epochs=args.epochs, batch_size=args.batch_size,
                         logs_dir=args.logs_dir, name=args.name,
                         log_every=getattr(args, "log_every", 1),
+                        val_every=getattr(args, "val_every", 0),
                         resample_every=getattr(args, "resample_every", 0))
 
     def resample_fn(round_idx: int):

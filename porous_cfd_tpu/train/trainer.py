@@ -47,6 +47,11 @@ class TrainerConfig:
     log_every: int = 1
     print_every: int = 50
     resample_every: int = 0  # epochs between point-cloud resamples (0 = off)
+    # validation (and best-checkpoint selection) cadence in epochs; 0 = once
+    # per log_every chunk. Set below log_every to keep fine-grained best.ckpt
+    # selection while batching epochs into one device program (VERDICT r3
+    # weak #6: the cadences were implicitly coupled).
+    val_every: int = 0
 
 
 class Trainer:
@@ -187,8 +192,11 @@ class Trainer:
         # high-latency backends. Every epoch's train scalars are still logged
         # (the chunk returns per-epoch metrics); validation runs once per
         # chunk, at its last epoch. log_every=1 keeps exact reference cadence.
-        chunk_size = cfg.log_every if (self.remainder == 0
-                                       and cfg.log_every > 1) else 1
+        chunk_base = (min(cfg.log_every, cfg.val_every) if cfg.val_every
+                      else cfg.log_every)
+        chunk_size = chunk_base if (self.remainder == 0
+                                    and chunk_base > 1) else 1
+        val_every = cfg.val_every or cfg.log_every
         resample = (cfg.resample_every
                     if cfg.resample_every > 0 and self.resample_fn else 0)
         sample_round = 0
@@ -242,7 +250,8 @@ class Trainer:
                         "Loss weights",
                         dict(zip(self.fns.metric_labels[1:1 + len(lam)],
                                  lam.tolist())), last - 1)
-            if self.val_data is not None and crossed_log:
+            crossed_val = (last // val_every) > (epoch // val_every)
+            if self.val_data is not None and crossed_val:
                 val = self.validate(state.params)
                 for label, v in zip(
                         [f"Validation {l}"
@@ -251,7 +260,12 @@ class Trainer:
                 val_mean = float(np.mean(val))
                 if val_mean < self._best_val:
                     self._best_val = val_mean
-                    self._best = (jax.device_get(state.params), last)
+                    # snapshot the FULL state (opt_state/step/scaler included)
+                    # so best.ckpt resumes exactly like a checkpoint written
+                    # at this epoch — params from one epoch with the final
+                    # run's opt_state would silently train with a mismatched
+                    # optimizer schedule on resume (ADVICE r3)
+                    self._best = (jax.device_get(state), last)
 
             if last % cfg.checkpoint_every == 0:
                 self.save_checkpoint(state, last,
@@ -265,12 +279,10 @@ class Trainer:
 
         self.save_checkpoint(state, cfg.epochs, "model.ckpt")
         if self._best is not None:
-            # best-validation weights alongside the reference-cadence final
-            # checkpoint (same payload schema; opt_state is the final one)
-            best_params, best_epoch = self._best
-            self.save_checkpoint(
-                dataclasses.replace(state, params=best_params),
-                best_epoch, "best.ckpt")
+            # best-validation state alongside the reference-cadence final
+            # checkpoint (same payload schema; a true epoch-consistent state)
+            best_state, best_epoch = self._best
+            self.save_checkpoint(best_state, best_epoch, "best.ckpt")
         if self._writer is not None:
             self._writer.flush()
         return state

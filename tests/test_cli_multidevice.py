@@ -61,3 +61,8 @@ def test_mesh_from_args():
 
     mesh, sp = mesh_from_args(Namespace(mesh_data=-1, mesh_points=2))
     assert mesh.devices.shape == (4, 2) and sp
+
+    # mesh_data=0 means "single device" per the flag help: --mesh-points
+    # alone must NOT auto-fill the data axis (ADVICE r3)
+    mesh, sp = mesh_from_args(Namespace(mesh_data=0, mesh_points=2))
+    assert mesh.devices.shape == (1, 2) and sp

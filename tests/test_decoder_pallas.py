@@ -285,6 +285,54 @@ def test_additive_j0_mode_matches_reference():
                                    rtol=1e-3)
 
 
+def test_bf16_input_mode_parity_on_device():
+    """TPU-only (ADVICE r3): PCT_KERNEL_BF16 defaults ON, casting every fused
+    kernel matmul operand to bf16 (f32 accumulation) — including the J/H
+    physics propagation. The interpret-mode parity tests run f32, so this is
+    the automated guard on the numeric mode actually shipped on TPU: bf16-in
+    vs f32-in outputs AND gradients within a stated tolerance. The cast lives
+    in the shared ``_mm`` used by all four kernel families."""
+    if not decoder_pallas.on_tpu():
+        pytest.skip("TPU-only (the bf16 cast is gated on the TPU backend)")
+    act = nn.silu
+    params = make_params()
+    v, j, h, v_b, g = make_inputs(b=2, ni=128, nb=32)
+
+    def run(bf16):
+        orig = decoder_pallas._BF16_INPUTS
+        decoder_pallas._BF16_INPUTS = bf16
+        try:
+            out = decoder_pallas.decoder_prop(
+                params, LAYERS, N_LOCAL, v, tr(j), tr(h), v_b, g, act,
+                tile=64, interpret=False)
+
+            def scalar(p):
+                ov, oj, oh = decoder_pallas.decoder_prop(
+                    p, LAYERS, N_LOCAL, v, tr(j), tr(h), v_b, g, act,
+                    tile=64, interpret=False)
+                return (jnp.sum(ov ** 2) + 2.0 * jnp.sum(jnp.sin(oj))
+                        + 0.5 * jnp.sum(oh ** 2))
+
+            grads = jax.grad(scalar)(params)
+        finally:
+            decoder_pallas._BF16_INPUTS = orig
+        return out, grads
+
+    ref_out, ref_grads = run(False)
+    out, grads = run(True)
+    for r, o, name in zip(ref_out, out, ("v", "jac", "lap")):
+        r, o = np.asarray(r), np.asarray(o)
+        scale = np.abs(r).max() + 1e-6
+        assert np.abs(o - r).max() / scale < 3e-2, (
+            f"{name}: bf16-input kernel diverges from f32-input "
+            f"({np.abs(o - r).max() / scale:.2%} of max magnitude)")
+    for rg, og in zip(jax.tree_util.tree_leaves(ref_grads),
+                      jax.tree_util.tree_leaves(grads)):
+        rg, og = np.asarray(rg), np.asarray(og)
+        scale = np.abs(rg).max() + 1e-6
+        assert np.abs(og - rg).max() / scale < 6e-2
+
+
 def test_dropout_mask_statistics_on_device():
     """TPU-only regression test for the uint32 threshold-compare bug:
     prng_random_bits yields SIGNED int32, and a signed compare against the
