@@ -137,7 +137,8 @@ batched_radius = jax.vmap(radius_neighbors, in_axes=(0, 0, None, None))
 batched_knn_interpolate = jax.vmap(knn_interpolate, in_axes=(0, 0, 0, None))
 
 
-def sa_chain_precompute(pos: jnp.ndarray, fractions, radii, max_neighbors: int):
+def sa_chain_precompute(pos: jnp.ndarray, fractions, radii, max_neighbors: int,
+                        feats: jnp.ndarray | None = None):
     """Precompute the SetAbstraction chain's neighbor structures for a STATIC
     point cloud: FPS centroids + radius neighborhoods per level.
 
@@ -147,6 +148,12 @@ def sa_chain_precompute(pos: jnp.ndarray, fractions, radii, max_neighbors: int):
     the latency bottleneck of the ++ model families.
 
     :param pos: (B, N, D) source cloud (typically boundary points).
+    :param feats: optional (B, N, F_in) level-0 input features. These are raw
+        DATA (coords/boundaryId), constant across steps, so their neighborhood
+        gather can happen here once instead of per step: the fused SA kernel
+        then runs its first layer directly on the pre-gathered rows
+        (``sa_xg_0``), eliminating the per-step one-hot gather matmul — the
+        dominant FLOP term of the ++ families (C*K*N*F1 -> C*K*F_in*F1).
     :return: dict of arrays {'sa_cent_i': (B, C_i), 'sa_idx_i': (B, C_i, K),
         'sa_mask_i': (B, C_i, K)} suitable for merging into FoamData.domain.
     """
@@ -166,6 +173,10 @@ def sa_chain_precompute(pos: jnp.ndarray, fractions, radii, max_neighbors: int):
         out[f"sa_rel_{i}"] = ((neigh_pos - pos_c[..., None, :]) / r
                               ).astype(jnp.float32)
         out[f"sa_posc_{i}"] = pos_c.astype(jnp.float32)
+        if i == 0 and feats is not None:
+            xg = jax.vmap(lambda a, i_: a[i_])(feats, idx)  # (B, C, K, F_in)
+            out["sa_xg_0"] = xg.reshape(xg.shape[0], -1,
+                                        xg.shape[-1]).astype(jnp.float32)
         pos = pos_c
     return out
 
@@ -173,8 +184,9 @@ def sa_chain_precompute(pos: jnp.ndarray, fractions, radii, max_neighbors: int):
 def extract_sa_neighbors(domain: dict, n_layers: int):
     """Pull a precomputed SA chain (sa_chain_precompute keys) out of a
     FoamData domain dict; None when absent (compute on the fly). Entries are
-    (centroids, idx, mask) or (centroids, idx, mask, rel) when the static
-    relative positions were precomputed."""
+    (centroids, idx, mask) optionally extended with (rel, posc, xg): the
+    static relative positions, centroid positions, and (level 0 only) the
+    pre-gathered static input features."""
     if "sa_cent_0" not in domain:
         return None
     out = []
@@ -185,6 +197,8 @@ def extract_sa_neighbors(domain: dict, n_layers: int):
             entry = entry + (domain[f"sa_rel_{i}"],)
         if f"sa_posc_{i}" in domain:
             entry = entry + (domain[f"sa_posc_{i}"],)
+        if i == 0 and "sa_xg_0" in domain and len(entry) == 5:
+            entry = entry + (domain["sa_xg_0"],)
         out.append(entry)
     return out
 

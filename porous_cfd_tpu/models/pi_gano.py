@@ -456,7 +456,8 @@ def pi_gano_pp(nu: float, out_features: int, branch_layers, geometry_layers,
                           if fast_derivatives else None,
                           _boundary_sa_precompute(geometry_fraction,
                                                   geometry_radius,
-                                                  max_neighbors))
+                                                  max_neighbors,
+                                                  feats_order="C_first"))
 
 
 def pi_gano_pp_full(nu: float, out_features: int, branch_layers, enc_layers,

@@ -533,14 +533,27 @@ def pipn_foam(nu: float, d: float, f: float,
                           if fast_derivatives else None))
 
 
-def _boundary_sa_precompute(fractions, radii, max_neighbors):
-    """Dataset-level precompute closure for boundary-cloud SA chains."""
+def _boundary_sa_precompute(fractions, radii, max_neighbors,
+                            feats_order: str | None = None):
+    """Dataset-level precompute closure for boundary-cloud SA chains.
+
+    ``feats_order`` names the model's level-0 input assembly ("C_first" /
+    "id_first", matching the geometry-branch concat) so the static input
+    features can be pre-gathered per neighborhood (sa_xg_0) — the fused SA
+    kernel then skips its per-step one-hot gather at level 0 entirely."""
     from porous_cfd_tpu.models.neighbors import sa_chain_precompute
 
     def fn(dataset: FoamData):
         _, boundary = split_contiguous(dataset)
+        feats = None
+        if feats_order == "C_first":
+            feats = jnp.concatenate([boundary["C"], boundary["boundaryId"]],
+                                    axis=-1)
+        elif feats_order == "id_first":
+            feats = jnp.concatenate([boundary["boundaryId"], boundary["C"]],
+                                    axis=-1)
         return sa_chain_precompute(boundary["C"], fractions, radii,
-                                   max_neighbors)
+                                   max_neighbors, feats=feats)
 
     return fn
 
@@ -579,7 +592,8 @@ def pipn_manufactured_pp(nu: float, d: float, f: float,
         derivative_apply=(pipn_pp_apply_with_derivatives(module)
                           if fast_derivatives else None),
         neighbor_precompute=_boundary_sa_precompute(
-            fe_global_fraction, fe_global_radius, max_neighbors))
+            fe_global_fraction, fe_global_radius, max_neighbors,
+            feats_order="id_first"))
 
 
 def pipn_foam_pp(nu: float, d: float, f: float,
@@ -599,7 +613,8 @@ def pipn_foam_pp(nu: float, d: float, f: float,
                        pipn_pp_apply_with_derivatives(module)
                        if fast_derivatives else None,
                        _boundary_sa_precompute(fe_fraction, fe_radius,
-                                               max_neighbors))
+                                               max_neighbors,
+                                               feats_order="C_first"))
 
 
 def pipn_foam_pp_mrg(n_dims: int, mrg_in_features: int,
@@ -621,7 +636,8 @@ def pipn_foam_pp_mrg(n_dims: int, mrg_in_features: int,
                        if fast_derivatives else None,
                        _boundary_sa_precompute(SetAbstractionMrgSeq.fractions,
                                                SetAbstractionMrgSeq.radii,
-                                               max_neighbors))
+                                               max_neighbors,
+                                               feats_order="id_first"))
 
 
 def _all_points_unet_precompute(fractions, radii, max_neighbors, dec_k,

@@ -65,20 +65,34 @@ def _onehot(idx_ref, g_block, k, n_src):
 
 
 def _fwd_kernel(cfg, *refs):
-    widths, act_name, g_block, k, nl, n_src = cfg
+    widths, act_name, g_block, k, nl, n_src, static = cfg
     rules = _RULES[act_name]
     it = iter(refs)
-    p_ref = next(it)
-    rel_ref = next(it)
-    idx_ref = next(it)
-    mask_ref = next(it)
-    w0r_ref = next(it)
+    if static:
+        # pre-gathered static input rows (see sa_chain_precompute feats):
+        # first layer is a plain small matmul, no one-hot gather at all
+        xg_ref = next(it)
+        rel_ref = next(it)
+        mask_ref = next(it)
+        w0x_ref = next(it)
+        w0r_ref = next(it)
+        b0_ref = next(it)
+    else:
+        p_ref = next(it)
+        rel_ref = next(it)
+        idx_ref = next(it)
+        mask_ref = next(it)
+        w0r_ref = next(it)
     ws = [next(it) for _ in range(nl - 1)]
     bs = [next(it) for _ in range(nl - 1)]
     out_ref = next(it)
 
-    onehot = _onehot(idx_ref, g_block, k, n_src)
-    z0 = _dot(onehot, p_ref[0]) + _dot(rel_ref[0], w0r_ref[...])
+    if static:
+        z0 = (_dot(xg_ref[0], w0x_ref[...]) + _dot(rel_ref[0], w0r_ref[...])
+              + b0_ref[...])
+    else:
+        onehot = _onehot(idx_ref, g_block, k, n_src)
+        z0 = _dot(onehot, p_ref[0]) + _dot(rel_ref[0], w0r_ref[...])
     h = rules(z0)[0]
     for i in range(nl - 1):
         h = rules(_dot(h, ws[i][...]) + bs[i][...])[0]
@@ -91,19 +105,32 @@ def _fwd_kernel(cfg, *refs):
 
 
 def _bwd_kernel(cfg, *refs):
-    widths, act_name, g_block, k, nl, n_src = cfg
+    widths, act_name, g_block, k, nl, n_src, static = cfg
     rules = _RULES[act_name]
     it = iter(refs)
-    p_ref = next(it)
-    rel_ref = next(it)
-    idx_ref = next(it)
-    mask_ref = next(it)
-    w0r_ref = next(it)
+    if static:
+        xg_ref = next(it)
+        rel_ref = next(it)
+        mask_ref = next(it)
+        w0x_ref = next(it)
+        w0r_ref = next(it)
+        b0_ref = next(it)
+    else:
+        p_ref = next(it)
+        rel_ref = next(it)
+        idx_ref = next(it)
+        mask_ref = next(it)
+        w0r_ref = next(it)
     ws = [next(it) for _ in range(nl - 1)]
     bs = [next(it) for _ in range(nl - 1)]
     dout_ref = next(it)
-    dp_ref = next(it)
-    dw0r_ref = next(it)
+    if static:
+        dw0x_ref = next(it)
+        dw0r_ref = next(it)
+        db0_ref = next(it)
+    else:
+        dp_ref = next(it)
+        dw0r_ref = next(it)
     dws = [next(it) for _ in range(nl - 1)]
     dbs = [next(it) for _ in range(nl - 1)]
 
@@ -112,16 +139,24 @@ def _bwd_kernel(cfg, *refs):
     @pl.when(jnp.logical_and(b == 0, t == 0))
     def _init_weights():
         dw0r_ref[...] = jnp.zeros_like(dw0r_ref)
+        if static:
+            dw0x_ref[...] = jnp.zeros_like(dw0x_ref)
+            db0_ref[...] = jnp.zeros_like(db0_ref)
         for r in dws + dbs:
             r[...] = jnp.zeros_like(r)
 
-    @pl.when(t == 0)
-    def _init_dp():
-        dp_ref[...] = jnp.zeros_like(dp_ref)
+    if not static:
+        @pl.when(t == 0)
+        def _init_dp():
+            dp_ref[...] = jnp.zeros_like(dp_ref)
 
     # forward recompute, stashing pre-activations + layer inputs
-    onehot = _onehot(idx_ref, g_block, k, n_src)
-    z0 = _dot(onehot, p_ref[0]) + _dot(rel_ref[0], w0r_ref[...])
+    if static:
+        z0 = (_dot(xg_ref[0], w0x_ref[...]) + _dot(rel_ref[0], w0r_ref[...])
+              + b0_ref[...])
+    else:
+        onehot = _onehot(idx_ref, g_block, k, n_src)
+        z0 = _dot(onehot, p_ref[0]) + _dot(rel_ref[0], w0r_ref[...])
     zs, a_in = [z0], []
     a = rules(z0)[0]
     for i in range(nl - 1):
@@ -148,7 +183,11 @@ def _bwd_kernel(cfg, *refs):
         dbs[i][...] += jnp.sum(gz, axis=0, keepdims=True)
         g = _dot_t(gz, ws[i][...])
     gz0 = g * rules(zs[0])[1]
-    dp_ref[0] += _outer(onehot, gz0)                     # transposed one-hot
+    if static:
+        dw0x_ref[...] += _outer(xg_ref[0], gz0)
+        db0_ref[...] += jnp.sum(gz0, axis=0, keepdims=True)
+    else:
+        dp_ref[0] += _outer(onehot, gz0)                 # transposed one-hot
     dw0r_ref[...] += _outer(rel_ref[0], gz0)
 
 
@@ -158,7 +197,7 @@ def _build(widths, act_name, n_cases, n_cent, k, n_src, n_dims, g_block,
     nl = len(widths)
     f1, f_out = widths[0], widths[-1]
     grid = (n_cases, n_cent // g_block)
-    cfg = (widths, act_name, g_block, k, nl, n_src)
+    cfg = (widths, act_name, g_block, k, nl, n_src, False)
     rows = g_block * k
 
     p_spec = pl.BlockSpec((1, n_src, f1), lambda b, t: (b, 0, 0))
@@ -216,6 +255,75 @@ def _build(widths, act_name, n_cases, n_cent, k, n_src, n_dims, g_block,
     return fn
 
 
+@lru_cache(maxsize=None)
+def _build_static(widths, act_name, n_cases, n_cent, k, f_in, n_dims,
+                  g_block, interpret):
+    """Kernel variant for level-0 neighborhoods whose inputs are static DATA
+    (pre-gathered by sa_chain_precompute): the first layer consumes the
+    (rows, f_in) gathered block directly — no one-hot gather matmul forward,
+    no transposed-one-hot scatter backward, no dp output."""
+    nl = len(widths)
+    f1, f_out = widths[0], widths[-1]
+    grid = (n_cases, n_cent // g_block)
+    cfg = (widths, act_name, g_block, k, nl, 0, True)
+    rows = g_block * k
+
+    xg_spec = pl.BlockSpec((1, rows, f_in), lambda b, t: (b, t, 0))
+    rel_spec = pl.BlockSpec((1, rows, n_dims), lambda b, t: (b, t, 0))
+    mask_spec = pl.BlockSpec((1, g_block, k), lambda b, t: (b, t, 0))
+    w0x_spec = pl.BlockSpec((f_in, f1), lambda b, t: (0, 0))
+    w0r_spec = pl.BlockSpec((n_dims, f1), lambda b, t: (0, 0))
+    b0_spec = pl.BlockSpec((1, f1), lambda b, t: (0, 0))
+    w_specs = [pl.BlockSpec((widths[i], widths[i + 1]), lambda b, t: (0, 0))
+               for i in range(nl - 1)]
+    b_specs = [pl.BlockSpec((1, widths[i + 1]), lambda b, t: (0, 0))
+               for i in range(nl - 1)]
+    out_spec = pl.BlockSpec((1, g_block, f_out), lambda b, t: (b, t, 0))
+
+    def run_fwd(xg, rel, maskf, w0x, w0r, b0, ws, bs):
+        return pl.pallas_call(
+            partial(_fwd_kernel, cfg), grid=grid,
+            in_specs=[xg_spec, rel_spec, mask_spec, w0x_spec, w0r_spec,
+                      b0_spec] + w_specs + b_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((n_cases, n_cent, f_out),
+                                           jnp.float32),
+            interpret=interpret,
+        )(xg, rel, maskf, w0x, w0r, b0, *ws, *bs)
+
+    @jax.custom_vjp
+    def fn(xg, rel, maskf, w0x, w0r, b0, ws, bs):
+        return run_fwd(xg, rel, maskf, w0x, w0r, b0, ws, bs)
+
+    def fn_fwd(xg, rel, maskf, w0x, w0r, b0, ws, bs):
+        return run_fwd(xg, rel, maskf, w0x, w0r, b0, ws, bs), (
+            xg, rel, maskf, w0x, w0r, b0, ws, bs)
+
+    def fn_bwd(saved, dout):
+        xg, rel, maskf, w0x, w0r, b0, ws, bs = saved
+        res = pl.pallas_call(
+            partial(_bwd_kernel, cfg), grid=grid,
+            in_specs=[xg_spec, rel_spec, mask_spec, w0x_spec, w0r_spec,
+                      b0_spec] + w_specs + b_specs + [out_spec],
+            out_specs=[w0x_spec, w0r_spec, b0_spec] + w_specs + b_specs,
+            out_shape=([jax.ShapeDtypeStruct(w0x.shape, jnp.float32),
+                        jax.ShapeDtypeStruct(w0r.shape, jnp.float32),
+                        jax.ShapeDtypeStruct(b0.shape, jnp.float32)]
+                       + [jax.ShapeDtypeStruct(w.shape, jnp.float32)
+                          for w in ws]
+                       + [jax.ShapeDtypeStruct(b.shape, jnp.float32)
+                          for b in bs]),
+            interpret=interpret,
+        )(xg, rel, maskf, w0x, w0r, b0, *ws, *bs, dout)
+        dw0x, dw0r, db0 = res[0], res[1], res[2]
+        return (jnp.zeros_like(xg), jnp.zeros_like(rel),
+                jnp.zeros_like(maskf), dw0x, dw0r, db0,
+                tuple(res[3:3 + nl - 1]), tuple(res[2 + nl:]))
+
+    fn.defvjp(fn_fwd, fn_bwd)
+    return fn
+
+
 def _gather(arr, idx):
     """arr (B, N, F), idx (B, ...) -> (B, ..., F)."""
     return jax.vmap(lambda a, i: a[i])(arr, idx)
@@ -231,7 +339,8 @@ def _pick_g(n_cent: int, k: int) -> int:
 
 
 def sa_neighborhood(params: dict, mlp_layers, x, pos, idx, mask, r: float,
-                    activation, rel=None, interpret: bool | None = None):
+                    activation, rel=None, xg=None,
+                    interpret: bool | None = None):
     """Fused SetAbstraction level: masked max over neighbors of
     ``MLP([x_j || (pos_j - pos_c)/r])``.
 
@@ -244,6 +353,11 @@ def sa_neighborhood(params: dict, mlp_layers, x, pos, idx, mask, r: float,
     :param rel: (B, C, K, D) precomputed normalized relative positions
         (``sa_chain_precompute``); computed on the fly when absent (slower:
         per-step XLA gathers).
+    :param xg: optional (B, C*K, F_in) PRE-GATHERED static input features
+        (``sa_chain_precompute`` feats). When given, ``x`` is ignored: the
+        first layer runs directly on the gathered rows, eliminating the
+        per-step in-kernel one-hot gather (valid only when x is data with no
+        gradient — level 0 of the boundary-cloud branches).
     :return: (B, C, F_last) pooled features.
     """
     if interpret is None:
@@ -259,8 +373,6 @@ def sa_neighborhood(params: dict, mlp_layers, x, pos, idx, mask, r: float,
     bs = tuple(params[f"linear_{i}"]["bias"][None, :].astype(jnp.float32)
                for i in range(1, nl))
 
-    # dense first-layer feature projection: no K factor, no gather
-    p_dense = x.astype(jnp.float32) @ w0[:f_in] + b0      # (B, N, F1)
     if rel is None:
         raise ValueError(
             "sa_neighborhood requires precomputed rel; use "
@@ -271,13 +383,27 @@ def sa_neighborhood(params: dict, mlp_layers, x, pos, idx, mask, r: float,
     g_block = _pick_g(n_cent, k)
     pad = (-n_cent) % g_block
     maskf = mask.astype(jnp.float32)
-    idxf = idx.astype(jnp.int32)
     relf = rel.astype(jnp.float32)
     if pad:
         relf = jnp.pad(relf, ((0, 0), (0, pad), (0, 0), (0, 0)))
         maskf = jnp.pad(maskf, ((0, 0), (0, pad), (0, 0)))
-        idxf = jnp.pad(idxf, ((0, 0), (0, pad), (0, 0)))
     cp = n_cent + pad
+
+    if xg is not None:
+        xgf = xg.astype(jnp.float32)
+        if pad:
+            xgf = jnp.pad(xgf, ((0, 0), (0, pad * k), (0, 0)))
+        fn = _build_static(tuple(mlp_layers[1:]), act, b_cases, cp, k, f_in,
+                           n_dims, g_block, interpret)
+        out = fn(xgf, relf.reshape(b_cases, cp * k, -1), maskf,
+                 w0[:f_in], w0[f_in:], b0[None, :], ws, bs)
+        return out[:, :n_cent] if pad else out
+
+    # dense first-layer feature projection: no K factor, no gather
+    p_dense = x.astype(jnp.float32) @ w0[:f_in] + b0      # (B, N, F1)
+    idxf = idx.astype(jnp.int32)
+    if pad:
+        idxf = jnp.pad(idxf, ((0, 0), (0, pad), (0, 0)))
 
     fn = _build(tuple(mlp_layers[1:]), act, b_cases, cp, k, n_src, n_dims,
                 g_block, interpret)
@@ -315,8 +441,9 @@ def sa_seq_fused(params: dict, fractions, radii, conv_mlp, max_neighbors: int,
     for i, (r, layers) in enumerate(zip(radii, conv_mlp)):
         entry = neighbors[i]
         idx, mask, rel = _level_rel(entry, pos, r)
+        xg = entry[5] if (i == 0 and len(entry) >= 6) else None
         x = sa_neighborhood(params[f"sa_{i}"]["conv_mlp"], layers, x, pos,
-                            idx, mask, r, activation, rel=rel,
+                            idx, mask, r, activation, rel=rel, xg=xg,
                             interpret=interpret)
         pos = entry[4] if len(entry) >= 5 else _gather(pos, entry[0])
     if len(conv_mlp) > len(radii):
@@ -344,8 +471,9 @@ def sa_mrg_fused(params: dict, in_features: int, n_dims: int, activation,
 
     def level(key, layers, xx, pp, nb, r):
         idx, mask, rel = _level_rel(nb, pp, r)
+        xg = nb[5] if len(nb) >= 6 else None
         out = sa_neighborhood(params[key]["conv_mlp"], layers, xx, pp, idx,
-                              mask, r, activation, rel=rel,
+                              mask, r, activation, rel=rel, xg=xg,
                               interpret=interpret)
         return out, (nb[4] if len(nb) >= 5 else _gather(pp, nb[0]))
 

@@ -170,6 +170,34 @@ def test_model_fast_path_matches_xla(family):
                                    rtol=5e-4, atol=5e-4, err_msg=name)
 
 
+def test_static_xg_matches_dynamic():
+    """The static pre-gathered first-layer path (sa_xg_0) matches the dynamic
+    one-hot-gather path in values and parameter gradients, including with
+    centroid padding and empty neighborhoods."""
+    module, params, x, pos, neighbors = _setup(n=42, fraction=0.31)
+    centroids, idx, mask, rel = neighbors[:4]
+    mask = mask.at[:, ::4].set(False)  # some fully-empty neighborhoods
+    xg = jax.vmap(lambda a, i: a[i])(x, idx)
+    xg = xg.reshape(xg.shape[0], -1, xg.shape[-1])
+    cot = jnp.asarray(np.random.default_rng(9).normal(
+        size=(B, centroids.shape[1], LAYERS[-1])), jnp.float32)
+
+    def loss(p, use_xg):
+        out = sa_pallas.sa_neighborhood(
+            p["conv_mlp"], LAYERS, x, pos, idx, mask, module.r, jax.nn.silu,
+            rel=rel, xg=xg if use_xg else None)
+        return jnp.sum(out * cot), out
+
+    (_, dyn), g_dyn = jax.value_and_grad(loss, has_aux=True)(params, False)
+    (_, stat), g_stat = jax.value_and_grad(loss, has_aux=True)(params, True)
+    np.testing.assert_allclose(np.asarray(stat), np.asarray(dyn),
+                               rtol=2e-5, atol=2e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=2e-4, atol=2e-4),
+        g_stat, g_dyn)
+
+
 def test_centroid_padding():
     # fraction picking a centroid count not divisible by the block size
     module, params, x, pos, neighbors = _setup(n=42, fraction=0.31)
