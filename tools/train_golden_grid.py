@@ -102,14 +102,21 @@ def main():
     ap.add_argument("--tag", default="grid")
     ap.add_argument("--reuse-ckpt", action="store_true")
     ap.add_argument("--skip-eval", action="store_true")
+    ap.add_argument("--paths", default="",
+                    help="comma list of derivative paths to run "
+                         "(analytic,decoupled,exact); empty = all "
+                         "(minus --skip-exact)")
     args = ap.parse_args()
 
     root = Path(args.root).resolve()
     logs_dir = root / "logs"
     results = {}
-    for key, fast, dec in [("analytic", True, False),
-                           ("decoupled", True, True)] + (
-            [] if args.skip_exact else [("exact", False, False)]):
+    all_paths = [("analytic", True, False), ("decoupled", True, True)] + (
+        [] if args.skip_exact else [("exact", False, False)])
+    if args.paths:
+        wanted = set(args.paths.split(","))
+        all_paths = [p for p in all_paths if p[0] in wanted]
+    for key, fast, dec in all_paths:
         name = f"{args.tag}-{args.model}-{key}"
         ckpt = logs_dir / "lightning_logs" / name / "model.ckpt"
         wall = float("nan")
