@@ -22,6 +22,17 @@ published numbers (BASELINE.md). We use a reference-favorable estimate of
 sequential autograd graph replays + Lightning dispatch; the host-measured
 torch-CPU data point is 0.005 steps/s). vs_baseline = value / 30.
 
+The headline "pipn" family is the PRODUCT DEFAULT configuration: the
+decoupled-context analytic derivative path (pooled context treated as
+locally constant in the per-point derivatives). It is held-out
+accuracy-EQUIVALENT to the max-pool-coupled exactness mode at reference
+data scale (621-case CFD grid: test U 1.585%/p 4.330% decoupled vs
+1.583%/4.493% coupled, CONVERGENCE.md) and runs at 1.07x its per-layer
+dot-model floor (PARITY.md ROOFLINE) — i.e. the default is speed-of-light
+for the envelope's arithmetic. The reference's exact grad-of-max coupling
+semantics remain one flag away (--coupled-context; `pipn_coupled` family
+below).
+
 Flake guard: the axon TPU backend can hang inside backend init (it killed
 both round-3 driver artifacts). The default invocation therefore (1) probes
 backend init in a SUBPROCESS with a bounded timeout, (2) runs the actual
@@ -62,8 +73,10 @@ def make_model(family: str):
         {"continuity": [1], "momentum": [1] * 2, "boundary": [1] * 3,
          "observations": [100] * 3})
     n_bid = 4
-    if family in ("pipn", "pipn_exact", "pipn_decoupled"):
+    if family in ("pipn", "pipn_exact", "pipn_coupled"):
         # duct_fixed_boundary 'pipn' config (examples/duct_fixed_boundary/train.py)
+        # "pipn" is the PRODUCT DEFAULT (decoupled-context speed mode);
+        # "pipn_coupled" is the reference-exactness knob (--coupled-context).
         model = pipn_foam(
             nu=NU, d=D, f=F,
             fe_local_layers=[2, 64, 64],
@@ -72,7 +85,7 @@ def make_model(family: str):
             seg_dropout=[0.05, 0.05, 0, 0],
             scalers=scalers,
             fast_derivatives=(family != "pipn_exact"),
-            coupled_context=(family != "pipn_decoupled"))
+            coupled_context=(family in ("pipn_coupled", "pipn_exact")))
         return model, fixed_scaler
     if family == "pipn_pp":
         model = pipn_foam_pp(
@@ -197,7 +210,7 @@ def run_bench():
 
     families = {}
     if "--no-families" not in sys.argv:
-        for family in ("pipn_decoupled", "pipn_exact", "pipn_pp",
+        for family in ("pipn_coupled", "pipn_exact", "pipn_pp",
                        "pi_gano"):
             try:
                 families[family] = measure_family(family, dataset)

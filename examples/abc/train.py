@@ -40,7 +40,10 @@ def get_model(args, normalizers):
                 fe_global_layers=[64 + b + 1, 96, 128, 1024],
                 seg_layers=[1024 + 64, 512, 256, 128, n + 1],
                 seg_dropout=[0.03, 0.02, 0, 0],
-                scalers=normalizers)
+                scalers=normalizers,
+                fast_derivatives=not getattr(args, "exact_derivatives",
+                                             False),
+                coupled_context=getattr(args, "coupled_context", False))
         case "pipn-pp":
             return pipn_foam_pp(
                 nu=NU, d=D, f=F,

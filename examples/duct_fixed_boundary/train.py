@@ -43,8 +43,9 @@ def get_model(args, normalizers):
                 seg_dropout=[0.05, 0.05, 0, 0],
                 scalers=normalizers,
                 activation=nn.silu,
-                fast_derivatives=getattr(args, "fast_derivatives", False),
-                coupled_context=not getattr(args, "decoupled_context", False))
+                fast_derivatives=not getattr(args, "exact_derivatives",
+                                             False),
+                coupled_context=getattr(args, "coupled_context", False))
         case "pipn-pp":
             return pipn_foam_pp(
                 nu=NU, d=D, f=F,

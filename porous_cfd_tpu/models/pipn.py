@@ -515,9 +515,18 @@ def pipn_foam(nu: float, d: float, f: float,
               seg_dropout: Optional[Sequence[float]] = None,
               activation: Activation = nn.silu,
               dtype: Any = None,
-              fast_derivatives: bool = False,
-              coupled_context: bool = True) -> PinnModel:
-    """Data+physics PIPN with standardized features (pipn_foam.py:15-105)."""
+              fast_derivatives: bool = True,
+              coupled_context: bool = False) -> PinnModel:
+    """Data+physics PIPN with standardized features (pipn_foam.py:15-105).
+
+    ``coupled_context`` defaults to False (round 4): the decoupled-context
+    analytic path is the PRODUCT DEFAULT — held-out accuracy-equivalent to
+    the max-pool-coupled mode at reference data scale (621-case CFD grid,
+    CONVERGENCE.md) and ~1.5x faster (speed-of-light vs its dot-model floor,
+    PARITY.md ROOFLINE). Pass True (CLI: --coupled-context) to replicate the
+    torch reference's grad-of-max coupling semantics exactly. The physics-
+    only ``pipn_manufactured`` keeps the coupled default: it is the
+    verification experiment, where reference-exact semantics matter most."""
     module = PipnModule(fe_local_layers, fe_global_layers, seg_layers,
                         seg_dropout, activation, dtype=dtype)
     u_s, p_s, c_s = scalers["U"], scalers["p"], scalers["C"]

@@ -44,14 +44,27 @@ def build_arg_parser() -> ArgumentParser:
     p.add_argument("--checkpoint", type=str, default=None,
                    help="checkpoint path to resume/finetune from")
     p.add_argument("--fast-derivatives", action="store_true",
-                   help="use the analytic (v,J,H) derivative propagation "
-                        "where the model family supports it (physics/"
-                        "analytic.py) instead of exact nested autodiff")
+                   help="DEPRECATED no-op: the analytic (v,J,H) derivative "
+                        "propagation (physics/analytic.py) is the default "
+                        "where the model family supports it; see "
+                        "--exact-derivatives to opt out")
+    p.add_argument("--exact-derivatives", action="store_true",
+                   help="replay the reference's exact nested-autodiff "
+                        "semantics instead of the analytic (v,J,H) "
+                        "propagation (parity mode, ~18x slower on plain "
+                        "PIPN)")
     p.add_argument("--decoupled-context", action="store_true",
-                   help="with --fast-derivatives on plain PIPN: treat the "
-                        "pooled global feature as locally constant in the "
-                        "derivatives (~1.4x faster; accuracy-validated speed "
-                        "mode, CONVERGENCE.md)")
+                   help="DEPRECATED no-op: the decoupled-context speed mode "
+                        "is the plain-PIPN default (accuracy-equivalent at "
+                        "reference data scale, CONVERGENCE.md); see "
+                        "--coupled-context to opt into max-pool-coupled "
+                        "derivatives")
+    p.add_argument("--coupled-context", action="store_true",
+                   help="with the analytic path on plain PIPN: propagate "
+                        "the TRUE max-pool coupling of the pooled global "
+                        "feature through the per-point derivatives "
+                        "(reference-exactness knob, ~1.5x slower than the "
+                        "default decoupled mode)")
     p.add_argument("--loss-scaler", type=str, default="fixed",
                    help="loss scaler. Supports fixed and relobralo")
     p.add_argument("--log-every", type=int, default=1,

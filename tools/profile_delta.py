@@ -189,6 +189,90 @@ def main():
         report["local+decoder_fwdbwd_ms"] = scan_delta_ms(
             lambda e: dec(e, True))
 
+    if args.family == "pipn":
+        from porous_cfd_tpu.models.pipn import (_decoder_prop_dispatch,
+                                                _pointnet_global_dispatch,
+                                                _winner_gather_ctx)
+        from porous_cfd_tpu.ops import pointnet_pallas
+        feats = jnp.concatenate([batch["boundaryId"], batch["sdf"]], axis=-1)
+        n_int = x_int.shape[-2]
+        feats_i, feats_b = feats[..., :n_int, :], feats[..., n_int:, :]
+        fe = params["feature_extract"]
+        w0 = params["decoder"]["linear_0"]["kernel"]
+
+        def local_chain(p):
+            j0, h0 = analytic.identity_jacobian_t(x_int)
+            lv_i, lj, lh = analytic.mlp_prop_t(
+                p["feature_extract"]["local_feature"],
+                module.fe_local_layers, x_int, j0, h0, act)
+            lv_b = analytic.mlp_value(p["feature_extract"]["local_feature"],
+                                      module.fe_local_layers, x_bnd, act)
+            return lv_i, lj, lh, lv_b
+
+        def pointnet_only(eps):
+            p = perturb(params, eps)
+            lv_i, lj, lh, lv_b = local_chain(p)
+            g_in = jnp.concatenate([
+                jnp.concatenate([lv_i, feats_i], -1),
+                jnp.concatenate([lv_b, feats_b], -1)], axis=-2)
+            return pointnet_pallas.pointnet_global(
+                p["feature_extract"]["global_feature"],
+                module.fe_global_layers, g_in, act, return_argmax=True)
+
+        report["local+pointnet_fwd_ms"] = scan_delta_ms(pointnet_only)
+
+        def winner_ctx(eps, with_grad):
+            p = perturb(params, eps)
+
+            def f(pp):
+                lv_i, lj, lh, lv_b = local_chain(pp)
+                g, zj0, zh0 = _winner_gather_ctx(
+                    pp["feature_extract"], module, lv_i, lj, lh, lv_b,
+                    feats_i, feats_b,
+                    pp["decoder"]["linear_0"]["kernel"][lv_i.shape[-1]:], act)
+                return jnp.sum(g ** 2) + jnp.sum(zj0 ** 2) + jnp.sum(zh0 ** 2)
+
+            return jax.grad(f)(p) if with_grad else f(p)
+
+        report["local+winnerctx_fwd_ms"] = scan_delta_ms(
+            lambda e: winner_ctx(e, False))
+        report["local+winnerctx_fwdbwd_ms"] = scan_delta_ms(
+            lambda e: winner_ctx(e, True))
+
+        def dec_path(eps, coupled, with_grad):
+            p = perturb(params, eps)
+
+            def f(pp):
+                lv_i, lj, lh, lv_b = local_chain(pp)
+                if coupled:
+                    g, zj0, zh0 = _winner_gather_ctx(
+                        pp["feature_extract"], module, lv_i, lj, lh, lv_b,
+                        feats_i, feats_b,
+                        pp["decoder"]["linear_0"]["kernel"][lv_i.shape[-1]:],
+                        act)
+                else:
+                    local_all = jnp.concatenate([lv_i, lv_b], axis=-2)
+                    g = _pointnet_global_dispatch(
+                        pp["feature_extract"]["global_feature"],
+                        module.fe_global_layers,
+                        jnp.concatenate([local_all, feats], axis=-1), act)
+                    zj0 = zh0 = None
+                from porous_cfd_tpu.ops import decoder_pallas
+                out, j, h = decoder_pallas.decoder_prop(
+                    pp["decoder"], module.seg_layers, lv_i.shape[-1],
+                    lv_i, lj, lh, lv_b, g, act,
+                    dropout=module.seg_dropout, deterministic=False,
+                    rng=key, j0_add=zj0, h0_add=zh0)
+                return jnp.sum(out ** 2) + jnp.sum(j ** 2) + jnp.sum(h ** 2)
+
+            return jax.grad(f)(p) if with_grad else f(p)
+
+        for label, coupled in [("coupled", True), ("decoupled", False)]:
+            report[f"full_{label}_fwd_ms"] = scan_delta_ms(
+                lambda e, c=coupled: dec_path(e, c, False))
+            report[f"full_{label}_fwdbwd_ms"] = scan_delta_ms(
+                lambda e, c=coupled: dec_path(e, c, True))
+
     if args.family == "pi_gano":
         from porous_cfd_tpu.models.pi_gano import _trunk_prop_dispatch
         from porous_cfd_tpu.models.pipn import _pointnet_global_dispatch

@@ -64,14 +64,14 @@ def family_shapes(family: str):
     configs). Excluded (documented, small): activation/dropout/pooling
     elementwise work, the winner one-hot select einsums, and the coupled
     path's per-channel last-layer contraction."""
-    if family == "pipn":
+    if family == "pipn":  # PRODUCT DEFAULT: decoupled-context analytic
+        return (mlp_shapes([2, 64, 64], R_VJH)
+                + mlp_shapes([69, 96, 128, 1024], R_ALL)
+                + mlp_shapes([1088, 512, 256, 128, 3], R_VJH))
+    if family == "pipn_coupled":  # reference-exactness knob
         return (mlp_shapes([2, 64, 64], R_VJH)
                 + mlp_shapes([69, 96, 128, 1024], R_ALL)      # pooled values
                 + mlp_shapes([69, 96, 128], R_WINNER)         # winner J/H
-                + mlp_shapes([1088, 512, 256, 128, 3], R_VJH))
-    if family == "pipn_decoupled":
-        return (mlp_shapes([2, 64, 64], R_VJH)
-                + mlp_shapes([69, 96, 128, 1024], R_ALL)
                 + mlp_shapes([1088, 512, 256, 128, 3], R_VJH))
     if family == "pipn_exact":
         return (mlp_shapes([2, 64, 64], R_EXACT)
@@ -159,7 +159,7 @@ def measure_dot_rate(m, k, n, dtype="float32"):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--families",
-                    default="pipn,pipn_decoupled,pipn_exact,pipn_pp,pi_gano")
+                    default="pipn,pipn_coupled,pipn_exact,pipn_pp,pi_gano")
     ap.add_argument("--measured", default=None,
                     help="JSON dict family->steps/s (bench.py families)")
     ap.add_argument("--peak-tflops", type=float, default=None,

@@ -37,8 +37,8 @@ def train(root: Path, name: str, epochs: int, fast: bool, logs_dir: Path,
         "--n-observations", "700", "--batch-size", "13",
         "--logs-dir", str(logs_dir), "--log-every", "25",
         "--resample-every", str(resample_every),
-    ] + (["--fast-derivatives"] if fast else []) \
-      + (["--decoupled-context"] if decoupled else [])
+    ] + ([] if fast else ["--exact-derivatives"]) \
+      + (["--coupled-context"] if fast and not decoupled else [])
     t0 = time.time()
     subprocess.run(args, check=True, cwd=REPO)
     return time.time() - t0
