@@ -181,6 +181,65 @@ def generate(root, splits, nx, ny, n_internal, variable):
                    "seed": SEED}, fh, indent=2)
 
 
+def patch_train(args):
+    """Targeted train-only densification for the variable grid: extra cases
+    for the named shapes at rotation MIDPOINTS of the reference linspaces
+    (disjoint from every base-grid rotation, so no held-out geometry variant
+    is duplicated into training), swept over the full coefficient x inlet
+    grid with ``--keep-p``. Motivated by the round-4 per-case analysis: the
+    val-p residual concentrates on single held-out rotation variants (e.g.
+    square_r56.67), i.e. rotation-grid extrapolation — the same failure mode
+    the fixed grid cured with --rot-mult midpoints."""
+    root = Path(args.root or "data/golden_variable")
+    train_dir = root / "train"
+    existing = sorted(d.name for d in train_dir.iterdir() if d.is_dir())
+    offset = len(existing)
+    shapes = set(args.patch_shapes.split(","))
+    rng = np.random.default_rng(SEED + 7)
+
+    base, dense = set(), []
+    for shape, rot in TRANSFORMS.items():
+        if shape not in shapes:
+            continue
+        base.update((shape, float(r)) for r in rotations(rot, 1))
+        for r in rotations(rot, 2):
+            if (shape, float(r)) not in base:
+                for sx in scale_grid(args.scale_n):
+                    for sy in scale_grid(args.scale_n):
+                        dense.append({"shape": shape, "rot": float(r),
+                                      "sx": float(sx), "sy": float(sy)})
+    cases = []
+    for coeffs in VARIABLE_COEFFS:
+        for inlet in VARIABLE_INLETS:
+            for mesh in dense:
+                if rng.random() > args.keep_p:
+                    continue
+                u = inlet + rng.uniform(-VARIABLE_INLET_JITTER / 2,
+                                        VARIABLE_INLET_JITTER / 2)
+                angle = np.radians(rng.uniform(*VARIABLE_ANGLE))
+                cases.append({**mesh, "d": coeffs["d"], "f": coeffs["f"],
+                              "u_x": u * np.cos(angle),
+                              "u_y": u * np.sin(angle),
+                              "angle_deg": float(np.degrees(angle))})
+    print(f"patch: {len(cases)} extra train cases for {sorted(shapes)} "
+          f"at midpoint rotations (existing train: {offset})", flush=True)
+    t0 = time.time()
+    for i, case in enumerate(cases):
+        sol = solve_and_write(case, train_dir / case_name(offset + i, case),
+                              args.nx, args.ny, args.n_internal,
+                              np.random.default_rng(SEED + offset + i))
+        if sol.residual > 1e-3:
+            print(f"  WARNING {case_name(offset + i, case)}: residual "
+                  f"{sol.residual:.2e}", flush=True)
+        if (i + 1) % 20 == 0:
+            print(f"  {i + 1}/{len(cases)} ({time.time() - t0:.0f}s)",
+                  flush=True)
+    fields = ["C", "U", "p", "cellToRegion", "d", "f"]
+    generate_meta(train_dir, *fields, max_dim=2)
+    generate_min_points(root)
+    print(f"patch done in {time.time() - t0:.0f}s", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=["fixed", "variable"])
@@ -199,7 +258,18 @@ def main():
     ap.add_argument("--rot-mult", type=int, default=1,
                     help="rotation densification: 2 inserts midpoints into "
                          "every reference rotation linspace")
+    ap.add_argument("--patch-shapes", default="",
+                    help="variable mode: generate EXTRA train-only cases "
+                         "for these shapes (comma list) at rotation "
+                         "MIDPOINTS only (never the base grid's rotations, "
+                         "so no val/test geometry is duplicated), appended "
+                         "to an existing --root train split; regenerates "
+                         "the train meta/min_points")
     args = ap.parse_args()
+
+    if args.patch_shapes:
+        patch_train(args)
+        return
 
     rng = np.random.default_rng(SEED)
     meshes = enumerate_meshes(args.scale_n, args.rot_mult)
