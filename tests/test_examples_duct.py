@@ -66,3 +66,63 @@ def test_duct_fixed_cli_end_to_end(tmp_path):
     import pandas
     df = pandas.read_csv(stats / "Errors.csv", index_col=0)
     assert "Pressure drop" in df.index  # experiment-specific metric appended
+
+
+def test_derivative_path_flags():
+    """CLI derivative-path resolution (round-4 defaults): no flags -> the
+    analytic decoupled fast path; --exact-derivatives -> exact nested
+    autodiff (derivative_apply None); --coupled-context -> analytic coupled,
+    differing from the default exactly in the pooled-context J/H terms."""
+    import argparse
+
+    from examples.duct_fixed_boundary.train import get_model
+    from porous_cfd_tpu.data.synthetic import make_scalers
+
+    def build(**flags):
+        kw = {"model": "pipn", "exact_derivatives": False,
+              "coupled_context": False}
+        kw.update(flags)
+        return get_model(argparse.Namespace(**kw), make_scalers())
+
+    assert build().derivative_apply is not None
+    assert build(exact_derivatives=True).derivative_apply is None
+    coupled = build(coupled_context=True)
+    assert coupled.derivative_apply is not None
+
+    from porous_cfd_tpu.data.synthetic import make_foam_batch
+    from porous_cfd_tpu.train.engine import gather_cases
+    import jax.numpy as jnp
+    import jax.random as jrandom
+    from flax.core import unfreeze
+
+    batch = gather_cases(make_foam_batch(2, 24, 16, 8,
+                                         rng=np.random.default_rng(3)),
+                         jnp.arange(2))
+    default = build()
+    params = unfreeze(default.module.init(jrandom.PRNGKey(0), batch["C"],
+                                          batch, True))["params"]
+    out_d, jac_d, lap_d = default.derivative_apply(params, batch, None, True)
+    out_c, jac_c, lap_c = coupled.derivative_apply(params, batch, None, True)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_d),
+                               rtol=1e-5, atol=1e-5)  # values identical
+    assert not np.allclose(np.asarray(jac_c), np.asarray(jac_d))  # J differs
+
+
+def test_patch_rotations_disjoint_from_base_grid():
+    """--patch-shapes densification draws ONLY rotation midpoints: no
+    generated geometry (shape, rot, sx, sy) may coincide with any base-grid
+    variant, so held-out val/test geometries can never leak into training."""
+    import sys as _sys
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from golden_transform_grid import TRANSFORMS, rotations
+
+    any_midpoints = False
+    for shape, spec in TRANSFORMS.items():
+        base = {round(float(r), 6) for r in rotations(spec, 1)}
+        dense = {round(float(r), 6) for r in rotations(spec, 2)}
+        midpoints = dense - base
+        if len(base) > 1:  # rotationally-symmetric shapes have 1 rotation
+            assert midpoints, shape
+            any_midpoints = True
+        assert not (midpoints & base), shape
+    assert any_midpoints
