@@ -73,6 +73,12 @@ def step(model, opt, pts_i, pts_b, feats, target):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=1)
+    args = ap.parse_args()
+
     torch.manual_seed(8421)
     model = Pipn().to(DEV)
     opt = torch.optim.Adam(model.parameters(), lr=1e-3)
@@ -81,9 +87,9 @@ def main():
     feats = torch.rand(B, NI + NB, 5, device=DEV)
     target = torch.rand(B, NI + NB, 3, device=DEV)
 
-    for _ in range(2):  # warmup
+    for _ in range(args.warmup):  # warmup
         step(model, opt, pts_i.clone(), pts_b, feats, target)
-    n = 10
+    n = args.steps
     t0 = time.perf_counter()
     for _ in range(n):
         step(model, opt, pts_i.clone(), pts_b, feats, target)
