@@ -62,27 +62,38 @@ def zoo_cases(n_train: int, n_val: int, seed: int = 8421):
 
 
 def generate(root: Path, nx: int, ny: int, nz: int,
-             train_cases=None, val_cases=None):
+             train_cases=None, val_cases=None, batch: int = 30):
     from porous_cfd_tpu.datagen import fvm3d
+    from porous_cfd_tpu.datagen.fvm3d_tpu import solve_duct3_batch
     from porous_cfd_tpu.datagen.meta import generate_meta, generate_min_points
     from porous_cfd_tpu.datagen.synthetic_case import write_data_config
 
     for split, cases in [("train", train_cases or TRAIN_CASES),
                          ("val", val_cases or VAL_CASES)]:
-        print(f"[{split}] solving {len(cases)} 3D cases at {nx}x{ny}x{nz}",
-              flush=True)
-        for i, (shape, center, size, u_in) in enumerate(cases):
+        print(f"[{split}] solving {len(cases)} 3D cases at {nx}x{ny}x{nz} "
+              f"(TPU-batched march, chunk {batch})", flush=True)
+        for c0 in range(0, len(cases), batch):
+            chunk = cases[c0:c0 + batch]
             t0 = time.perf_counter_ns()
-            sol = fvm3d.solve_duct3(shape, center, size, nx=nx, ny=ny, nz=nz,
-                                    u_inlet=u_in, nu=NU, d=D, f=F,
-                                    tol=2e-4, max_steps=12000)
+            sols = solve_duct3_batch(chunk, nx=nx, ny=ny, nz=nz,
+                                     nu=NU, d=D, f=F,
+                                     tol=2e-4, max_steps=12000)
             elapsed = time.perf_counter_ns() - t0
-            print(f"  {shape} steps={sol.steps} res={sol.residual:.1e} "
-                  f"({elapsed / 1e9:.0f}s)", flush=True)
-            fvm3d.solution_to_case3(
-                sol, root / split / f"case_{i}_{shape}", n_internal=4000,
-                rng=np.random.default_rng(8421 + i), d=D, f=F, nu=NU,
-                u_inlet=u_in, n_per_patch=500, elapsed_ns=elapsed)
+            per_case = elapsed // max(1, len(chunk))
+            for j, ((shape, center, size, u_in), sol) in enumerate(
+                    zip(chunk, sols)):
+                i = c0 + j
+                if sol.residual > 2e-3:
+                    print(f"  WARNING case_{i}_{shape}: residual "
+                          f"{sol.residual:.2e} after {sol.steps} steps",
+                          flush=True)
+                fvm3d.solution_to_case3(
+                    sol, root / split / f"case_{i}_{shape}", n_internal=4000,
+                    rng=np.random.default_rng(8421 + i), d=D, f=F, nu=NU,
+                    u_inlet=u_in, n_per_patch=500, elapsed_ns=per_case)
+            print(f"  {min(c0 + batch, len(cases))}/{len(cases)} "
+                  f"(chunk {elapsed / 1e9:.0f}s, max steps "
+                  f"{max(s.steps for s in sols)})", flush=True)
         write_data_config(root / split,
                           ["C", "U", "p", "cellToRegion", "d", "f"],
                           {"Ux": "inlet"},
