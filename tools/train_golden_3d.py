@@ -124,6 +124,7 @@ def main():
                          "train cases (plus ~1/4 val) instead of the "
                          "hand-written 8+3 list")
     ap.add_argument("--resample-every", type=int, default=0)
+    ap.add_argument("--model", default="pipn")
     ap.add_argument("--name", default="golden3d-pipn")
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--reuse-data", action="store_true")
@@ -144,7 +145,8 @@ def main():
         t0 = time.time()
         subprocess.run([
             sys.executable, str(REPO / "examples/abc/train.py"),
-            "--model", "pipn", "--name", name, "--epochs", str(args.epochs),
+            "--model", args.model, "--name", name,
+            "--epochs", str(args.epochs),
             "--train-dir", str(root / "train"), "--val-dir", str(root / "val"),
             "--n-internal", str(args.n_internal),
             "--n-boundary", str(args.n_boundary),
@@ -168,8 +170,7 @@ def main():
     train_ds = FoamDataset(str(root / "train"), args.n_internal,
                            args.n_boundary, args.n_obs,
                            np.random.default_rng(8421))
-    model = get_model(argparse.Namespace(model="pipn",
-                                         fast_derivatives=True),
+    model = get_model(argparse.Namespace(model=args.model),
                       train_ds.normalizers)
     state, _ = load_checkpoint(str(ckpt), model, train_ds.stacked())
     fns = make_train_functions(model, make_optimizer(model, 1))
@@ -197,7 +198,7 @@ def main():
              f"({args.nx}x{args.ny}x{args.nz} grid, porous sphere/box/"
              f"cylinder obstacles, variable inlet speed), "
              f"{max(3, args.zoo // 4) if args.zoo else len(VAL_CASES)} "
-             f"held-out; abc coefficients (d={D:g}, f={F}), PIPN through "
+             f"held-out; abc coefficients (d={D:g}, f={F}), {args.model} through "
              f"the examples/abc CLI ({args.epochs} epochs, "
              f"batch {args.batch_size}, "
              f"{args.n_internal}/{args.n_boundary}/{args.n_obs} points, "
