@@ -114,24 +114,54 @@ def split_cases(cases, rng):
     }
 
 
+def _solve_params(case):
+    cx, cy = CENTER
+    return dict(shape=case["shape"], cx=cx, cy=cy, size=BASE_SIZE,
+                theta=float(np.radians(case["rot"])),
+                sx=case["sx"], sy=case["sy"],
+                u_inlet=case.get("u_x", fvm.U_INLET),
+                v_inlet=case.get("u_y", 0.0),
+                d=case.get("d", fvm.DARCY_D), f=case.get("f", fvm.FORCH_F))
+
+
 def solve_and_write(case, case_dir, nx, ny, n_internal, rng,
                     max_steps=30000, tol=1e-4):
-    cx, cy = CENTER
+    p = _solve_params(case)
     t0 = time.perf_counter_ns()
-    sol = fvm.solve_duct(
-        case["shape"], cx, cy, BASE_SIZE, np.radians(case["rot"]),
-        nx=nx, ny=ny, sx=case["sx"], sy=case["sy"],
-        u_inlet=case.get("u_x", fvm.U_INLET),
-        v_inlet=case.get("u_y", 0.0),
-        d=case.get("d", fvm.DARCY_D), f=case.get("f", fvm.FORCH_F),
-        max_steps=max_steps, tol=tol)
+    sol = fvm.solve_duct(nx=nx, ny=ny, max_steps=max_steps, tol=tol, **p)
     elapsed = time.perf_counter_ns() - t0
     fvm.solution_to_case(
         sol, case_dir, n_internal=n_internal, rng=rng,
-        d=case.get("d", fvm.DARCY_D), f=case.get("f", fvm.FORCH_F),
-        u_inlet=case.get("u_x", fvm.U_INLET),
-        v_inlet=case.get("u_y", 0.0), elapsed_ns=elapsed)
+        d=p["d"], f=p["f"], u_inlet=p["u_inlet"], v_inlet=p["v_inlet"],
+        elapsed_ns=elapsed)
     return sol
+
+
+def solve_cases(cases, nx, ny, solver="numpy", chunk=160,
+                max_steps=30000):
+    """Yield (index, case, DuctSolution, per_case_elapsed_ns) for every case.
+
+    ``solver='numpy'`` is the sequential f64 reference (tol 1e-4);
+    ``solver='batch'`` marches chunks of cases as one ``lax.while_loop`` on
+    the default JAX device via ``datagen/fvm_tpu.py`` (f32, tol 2e-4 — the
+    f32 update-norm noise floor; field agreement with the numpy solver is
+    regression-tested in tests/test_fvm_tpu.py)."""
+    if solver == "numpy":
+        for i, case in enumerate(cases):
+            t0 = time.perf_counter_ns()
+            sol = fvm.solve_duct(nx=nx, ny=ny, max_steps=max_steps, tol=1e-4,
+                                 **_solve_params(case))
+            yield i, case, sol, time.perf_counter_ns() - t0
+        return
+    from porous_cfd_tpu.datagen.fvm_tpu import solve_duct_batch
+    for c0 in range(0, len(cases), chunk):
+        part = cases[c0:c0 + chunk]
+        t0 = time.perf_counter_ns()
+        sols = solve_duct_batch([_solve_params(c) for c in part],
+                                nx=nx, ny=ny, tol=2e-4, max_steps=max_steps)
+        per_case = (time.perf_counter_ns() - t0) // max(1, len(part))
+        for j, (case, sol) in enumerate(zip(part, sols)):
+            yield c0 + j, case, sol, per_case
 
 
 def case_name(i, case):
@@ -144,17 +174,20 @@ def case_name(i, case):
     return f"case_{i:03d}_{tag}"
 
 
-def generate(root, splits, nx, ny, n_internal, variable):
+def generate(root, splits, nx, ny, n_internal, variable, solver="numpy"):
     root = Path(root)
     manifest = {}
     for split, cases in splits.items():
-        print(f"[{split}] solving {len(cases)} cases at {nx}x{ny} ...",
-              flush=True)
+        print(f"[{split}] solving {len(cases)} cases at {nx}x{ny} "
+              f"(solver={solver}) ...", flush=True)
         t0 = time.time()
-        for i, case in enumerate(cases):
-            sol = solve_and_write(case, root / split / case_name(i, case),
-                                  nx, ny, n_internal,
-                                  np.random.default_rng(SEED + i))
+        for i, case, sol, elapsed_ns in solve_cases(cases, nx, ny, solver):
+            p = _solve_params(case)
+            fvm.solution_to_case(
+                sol, root / split / case_name(i, case),
+                n_internal=n_internal, rng=np.random.default_rng(SEED + i),
+                d=p["d"], f=p["f"], u_inlet=p["u_inlet"],
+                v_inlet=p["v_inlet"], elapsed_ns=elapsed_ns)
             if sol.residual > 1e-3:
                 print(f"  WARNING {case_name(i, case)}: residual "
                       f"{sol.residual:.2e} after {sol.steps} steps",
@@ -204,10 +237,9 @@ def patch_train(args):
         base.update((shape, float(r)) for r in rotations(rot, 1))
         for r in rotations(rot, 2):
             if (shape, float(r)) not in base:
-                for sx in scale_grid(args.scale_n):
-                    for sy in scale_grid(args.scale_n):
-                        dense.append({"shape": shape, "rot": float(r),
-                                      "sx": float(sx), "sy": float(sy)})
+                for sx, sy in scale_grid(args.scale_n):
+                    dense.append({"shape": shape, "rot": float(r),
+                                  "sx": sx, "sy": sy})
     cases = []
     for coeffs in VARIABLE_COEFFS:
         for inlet in VARIABLE_INLETS:
@@ -224,10 +256,15 @@ def patch_train(args):
     print(f"patch: {len(cases)} extra train cases for {sorted(shapes)} "
           f"at midpoint rotations (existing train: {offset})", flush=True)
     t0 = time.time()
-    for i, case in enumerate(cases):
-        sol = solve_and_write(case, train_dir / case_name(offset + i, case),
-                              args.nx, args.ny, args.n_internal,
-                              np.random.default_rng(SEED + offset + i))
+    for i, case, sol, elapsed_ns in solve_cases(cases, args.nx, args.ny,
+                                                args.solver):
+        p = _solve_params(case)
+        fvm.solution_to_case(
+            sol, train_dir / case_name(offset + i, case),
+            n_internal=args.n_internal,
+            rng=np.random.default_rng(SEED + offset + i),
+            d=p["d"], f=p["f"], u_inlet=p["u_inlet"], v_inlet=p["v_inlet"],
+            elapsed_ns=elapsed_ns)
         if sol.residual > 1e-3:
             print(f"  WARNING {case_name(offset + i, case)}: residual "
                   f"{sol.residual:.2e}", flush=True)
@@ -258,6 +295,11 @@ def main():
     ap.add_argument("--rot-mult", type=int, default=1,
                     help="rotation densification: 2 inserts midpoints into "
                          "every reference rotation linspace")
+    ap.add_argument("--solver", choices=["numpy", "batch"], default="numpy",
+                    help="'batch' marches chunks of cases as one batched "
+                         "lax.while_loop on the default JAX device "
+                         "(datagen/fvm_tpu.py) — minutes instead of hours "
+                         "for the reference-scale grids")
     ap.add_argument("--patch-shapes", default="",
                     help="variable mode: generate EXTRA train-only cases "
                          "for these shapes (comma list) at rotation "
@@ -296,7 +338,7 @@ def main():
               "combinations", flush=True)
         splits = split_cases(cases, rng)
     generate(root, splits, args.nx, args.ny, args.n_internal,
-             variable=(args.mode == "variable"))
+             variable=(args.mode == "variable"), solver=args.solver)
 
 
 if __name__ == "__main__":

@@ -141,8 +141,8 @@ def main():
              "examples/duct_fixed_boundary CLI on 1 TPU chip.", "",
              "| Path | Wall | Train rel-L2 (U / p) | Val rel-L2 (U / p) "
              "| Test rel-L2 (U / p) |", "|---|---|---|---|---|"]
-    for key, label in [("analytic", "analytic coupled (v,J,H), DEFAULT"),
-                       ("decoupled", "analytic decoupled speed mode"),
+    for key, label in [("analytic", "analytic coupled (v,J,H) exactness mode"),
+                       ("decoupled", "analytic decoupled, DEFAULT"),
                        ("exact", "exact autodiff")]:
         if key not in results:
             continue
