@@ -329,10 +329,27 @@ def _gather(arr, idx):
     return jax.vmap(lambda a, i: a[i])(arr, idx)
 
 
-def _pick_g(n_cent: int, k: int) -> int:
-    """Neighborhoods per grid block: keep G*K rows around 512 and G*K a
-    multiple of 8 (f32 sublanes); the centroid axis is padded to G."""
-    g = max(1, 512 // k)
+import os
+
+# Rows (G*K) per grid block. Bigger blocks amortize per-grid-step overhead
+# and feed the MXU taller operands; the cap keeps the backward recompute's
+# per-layer stashes within VMEM for the widest conv stacks (<=256 lanes).
+SA_BLOCK_ROWS = int(os.environ.get("PCT_SA_ROWS", "4096"))
+# The dynamic (in-kernel one-hot gather) variant additionally materializes a
+# (rows, n_src) f32 selection matrix in VMEM; bound it to ~2 MB.
+SA_ONEHOT_BYTES = int(os.environ.get("PCT_SA_ONEHOT_BYTES", str(2 << 20)))
+
+
+def _pick_g(n_cent: int, k: int, n_src: int = 0) -> int:
+    """Neighborhoods per grid block: keep G*K rows around SA_BLOCK_ROWS, G*K
+    a multiple of 8 (f32 sublanes), and G no larger than the centroid count
+    (the centroid axis is padded to a multiple of G). ``n_src > 0`` marks the
+    dynamic one-hot variant, whose (G*K, n_src) VMEM selection matrix caps
+    the rows."""
+    rows = SA_BLOCK_ROWS
+    if n_src > 0:
+        rows = min(rows, max(512, SA_ONEHOT_BYTES // (4 * n_src)))
+    g = min(max(1, rows // k), max(1, n_cent))
     while (g * k) % 8 != 0:
         g += 1
     return g
@@ -380,7 +397,7 @@ def sa_neighborhood(params: dict, mlp_layers, x, pos, idx, mask, r: float,
 
     b_cases, n_cent, k = idx.shape
     n_src = x.shape[-2]
-    g_block = _pick_g(n_cent, k)
+    g_block = _pick_g(n_cent, k, 0 if xg is not None else n_src)
     pad = (-n_cent) % g_block
     maskf = mask.astype(jnp.float32)
     relf = rel.astype(jnp.float32)
