@@ -188,8 +188,8 @@ def _fwd_kernel(cfg: _Config, *refs):
         if cfg.with_derivatives:
             zj, zh = _dot(j, w), _dot(h, w)
             if i == 0 and cfg.with_j0_add:
-                zj = zj + ja_ref[0]
-                zh = zh + ha_ref[0]
+                zj = zj + ja_ref[0].astype(jnp.float32)
+                zh = zh + ha_ref[0].astype(jnp.float32)
         if i < nl - 1:
             val, d1, d2, _ = rules(z)
             v = val
@@ -272,8 +272,8 @@ def _bwd_kernel(cfg: _Config, *refs):
         zj = _dot(aj, w) if wd else None
         zh = _dot(ah, w) if wd else None
         if wd and i == 0 and cfg.with_j0_add:
-            zj = zj + ja_ref[0]
-            zh = zh + ha_ref[0]
+            zj = zj + ja_ref[0].astype(jnp.float32)
+            zh = zh + ha_ref[0].astype(jnp.float32)
         zs.append(z)
         zjs.append(zj)
         zhs.append(zh)
@@ -344,8 +344,8 @@ def _bwd_kernel(cfg: _Config, *refs):
         else:
             dbs[i - 1][...] += gb
         if wd and i == 0 and cfg.with_j0_add:
-            dja_ref[0] = gzj
-            dha_ref[0] = gzh
+            dja_ref[0] = gzj.astype(dja_ref.dtype)
+            dha_ref[0] = gzh.astype(dha_ref.dtype)
         ga = _dot_t(gz, wv)
         if wd:
             gj, gh = _dot_t(gzj, w), _dot_t(gzh, w)
@@ -455,7 +455,9 @@ def _build(widths, activation, dropout, deterministic, with_derivatives,
         if with_derivatives:
             out_shape += [jax.ShapeDtypeStruct(xj.shape, jnp.float32)] * 2
             if with_j0_add:
-                out_shape += [jax.ShapeDtypeStruct(ja.shape, jnp.float32)] * 2
+                # cotangent dtype follows the (possibly bf16) primal streams
+                out_shape += [jax.ShapeDtypeStruct(ja.shape, ja.dtype),
+                              jax.ShapeDtypeStruct(ha.shape, ha.dtype)]
         out_shape += [jax.ShapeDtypeStruct(ctx.shape, jnp.float32)]
         out_shape += [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
         out_shape += [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs]
@@ -583,8 +585,14 @@ def decoder_prop(params: dict, layers, n_local: int, v, jt, ht, v_b, g,
     vp = _pad_pts(v.astype(jnp.float32), 1, tile)
     jap = hap = None
     if with_j0_add:
-        jap = _pad_pts(j0_add.astype(jnp.float32), 2, tile)
-        hap = _pad_pts(h0_add.astype(jnp.float32), 2, tile)
+        # The add terms are the kernel's largest streams ((B, D, N, F1) each;
+        # ~80 MB at the reference envelope). Under the bf16 kernel mode they
+        # are stored/streamed as bf16 — the same precision class as the bf16
+        # matmul passes that consume them (accumulation stays f32 in-kernel).
+        j0_dt = jnp.bfloat16 if (_BF16_INPUTS and not interpret) \
+            else jnp.float32
+        jap = _pad_pts(j0_add.astype(j0_dt), 2, tile)
+        hap = _pad_pts(h0_add.astype(j0_dt), 2, tile)
     fn_int = _build(widths, act, drop, deterministic, True, d_dims,
                     vp.shape[1], b_cases, tile, interpret, ctx_width,
                     with_j0_add)
