@@ -392,7 +392,8 @@ def solution_to_case(sol: DuctSolution, case_dir: str | Path,
                      d=DARCY_D, f: float = FORCH_F,
                      nu: float = NU, u_inlet: float = U_INLET,
                      v_inlet: float = 0.0,
-                     elapsed_ns: int = 10 ** 9) -> None:
+                     elapsed_ns: int = 10 ** 9,
+                     solver_meta: dict | None = None) -> None:
     """Write a solved case in the on-disk layout the data pipeline consumes.
 
     Internal rows are the cell centres (optionally subsampled to
@@ -455,7 +456,7 @@ def solution_to_case(sol: DuctSolution, case_dir: str | Path,
     write_case(case_dir, pts, zone, patches,
                fields={"U": U, "p": P, "momentError": merr, "div(phi)": divp},
                patch_fields=patch_fields, d=d, f=f, nu=nu,
-               elapsed_ns=elapsed_ns)
+               elapsed_ns=elapsed_ns, solver_meta=solver_meta)
 
 
 def _interface_faces(sol: DuctSolution):

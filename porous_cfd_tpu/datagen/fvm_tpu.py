@@ -28,8 +28,11 @@ batched march reproduces ``fvm.solve_duct`` to roundoff
 (tests/test_fvm_tpu.py) — so the f32 production mode differs from the numpy
 fields only by accumulation noise (~1e-4 relative on the steady fields, far
 below the <5% surrogate target). The convergence tolerance should stay at or
-above ~2e-4 in f32 (the update-norm noise floor); the case writers record the
-per-case achieved residual either way.
+above ~2e-4 in f32 (the update-norm noise floor); the grid writers persist
+the solver mode, per-case achieved residual and step count into each case's
+``solver.json`` (tools/golden_transform_grid.py ``solve_cases`` →
+``synthetic_case.write_case``), so batch-f32 and numpy-f64 datasets stay
+distinguishable on disk (ADVICE r4).
 """
 from __future__ import annotations
 

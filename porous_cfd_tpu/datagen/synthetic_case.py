@@ -26,7 +26,8 @@ def write_case(case_dir: str | Path,
                fields: dict[str, np.ndarray] | None = None,
                patch_fields: dict[str, dict[str, np.ndarray]] | None = None,
                d=14000.0, f=17.11, nu: float = 1489.4e-6,
-               time: int = 1000, elapsed_ns: int = 10 ** 9) -> None:
+               time: int = 1000, elapsed_ns: int = 10 ** 9,
+               solver_meta: dict | None = None) -> None:
     """Write one case.
 
     :param points: internal cell centres (N, D>=2); padded to 3D on disk.
@@ -36,6 +37,10 @@ def write_case(case_dir: str | Path,
     :param patch_fields: patch name -> {field: values} surface dumps.
     :param d,f: Darcy/Forchheimer coefficients, scalar or 3-vector (the
         reference's anisotropic fvOptions vectors, e.g. d = [12000, 20000, 0]).
+    :param solver_meta: optional provenance dict (solver name, achieved
+        residual, step count, timing mode) written to ``solver.json`` so
+        datasets from different solver modes stay distinguishable on disk
+        (ADVICE r4).
     """
     case = Path(case_dir)
     if case.exists():
@@ -118,6 +123,8 @@ nu          [ 0 2 -1 0 0 0 0 ]  {nu} ;
     (case / "constant" / "transportProperties").write_text(tp)
 
     (case / "timing.txt").write_text(str(int(elapsed_ns)))
+    if solver_meta is not None:
+        (case / "solver.json").write_text(json.dumps(solver_meta))
 
 
 def write_manufactured_split(split_dir: str | Path, n_cases: int,

@@ -78,10 +78,19 @@ _BF16_INPUTS = os.environ.get("PCT_KERNEL_BF16", "1") != "0"
 
 
 def _mm(a, b, dims):
-    # TPU-only: interpret-mode parity tests stay exact f32
+    # TPU-only: interpret-mode parity tests stay exact f32. On the bf16
+    # branch the precision is pinned to DEFAULT so a global
+    # jax_default_matmul_precision override (e.g. 'highest' in on-TPU test
+    # sessions, PCT_TEST_TPU=1) cannot ask Mosaic for an fp32-precision
+    # contraction over deliberately-bf16 operands, which fails to lower; the
+    # f32 branch inherits the global precision so parity comparisons see the
+    # same matmul mode on both sides.
     if _BF16_INPUTS and on_tpu():
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
+        return jax.lax.dot_general(a, b, dims,
+                                   precision=jax.lax.Precision.DEFAULT,
+                                   preferred_element_type=jnp.float32)
     return jax.lax.dot_general(a, b, dims,
                                preferred_element_type=jnp.float32)
 
@@ -521,7 +530,8 @@ def decoder_prop(params: dict, layers, n_local: int, v, jt, ht, v_b, g,
                  activation, dropout=None, last_activation: bool = False,
                  deterministic: bool = True, rng=None,
                  tile: int | None = None, interpret: bool | None = None,
-                 jctx_t=None, hctx_t=None, j0_add=None, h0_add=None):
+                 jctx_t=None, hctx_t=None, j0_add=None, h0_add=None,
+                 j0_dtype=None):
     """Fused-kernel decoder propagation (internal (v,J,H) tiles + boundary
     value tiles).
 
@@ -589,8 +599,11 @@ def decoder_prop(params: dict, layers, n_local: int, v, jt, ht, v_b, g,
         # ~80 MB at the reference envelope). Under the bf16 kernel mode they
         # are stored/streamed as bf16 — the same precision class as the bf16
         # matmul passes that consume them (accumulation stays f32 in-kernel).
-        j0_dt = jnp.bfloat16 if (_BF16_INPUTS and not interpret) \
-            else jnp.float32
+        # ``j0_dtype`` overrides the inference so parity tests can force the
+        # bf16 stream (and its bf16 dja/dha cotangents) off-TPU (ADVICE r4).
+        j0_dt = j0_dtype if j0_dtype is not None else (
+            jnp.bfloat16 if (_BF16_INPUTS and not interpret)
+            else jnp.float32)
         jap = _pad_pts(j0_add.astype(j0_dt), 2, tile)
         hap = _pad_pts(h0_add.astype(j0_dt), 2, tile)
     fn_int = _build(widths, act, drop, deterministic, True, d_dims,

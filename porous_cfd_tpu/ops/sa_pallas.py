@@ -336,7 +336,10 @@ import os
 # per-layer stashes within VMEM for the widest conv stacks (<=256 lanes).
 SA_BLOCK_ROWS = int(os.environ.get("PCT_SA_ROWS", "4096"))
 # The dynamic (in-kernel one-hot gather) variant additionally materializes a
-# (rows, n_src) f32 selection matrix in VMEM; bound it to ~2 MB.
+# (rows, n_src) f32 selection matrix in VMEM; bound it to ~2 MB. The bound
+# only applies above the 512-row floor in _pick_g — at n_src > 1024 the floor
+# wins and the matrix grows past 2 MB (8 MB at n_src=4096), trading VMEM for
+# enough rows to keep the MXU fed (ADVICE r4: floor kept deliberately).
 SA_ONEHOT_BYTES = int(os.environ.get("PCT_SA_ONEHOT_BYTES", str(2 << 20)))
 
 

@@ -285,6 +285,50 @@ def test_additive_j0_mode_matches_reference():
                                    rtol=1e-3)
 
 
+def test_additive_j0_bf16_stream_parity():
+    """ADVICE r4: the bf16 j0/h0 additive stream (and its bf16 dja/dha
+    cotangent buffers) used to be exercised only by the end-to-end golden
+    benchmark — the interpret-mode tests always ran it f32 because the dtype
+    was inferred from ``interpret``. ``j0_dtype`` now forces the bf16 stream
+    anywhere; this checks v/J/H and the dja/dha input gradients against the
+    f32 stream within a bf16 tolerance, on every backend."""
+    act = nn.silu
+    params = make_params()
+    v, j, h, v_b, g = make_inputs(b=1, ni=16, nb=8)
+    rng = np.random.default_rng(11)
+    f1 = LAYERS[1]
+    ja = jnp.asarray(rng.normal(size=(1, 2, 16, f1)), jnp.float32) * 0.5
+    ha = jnp.asarray(rng.normal(size=(1, 2, 16, f1)), jnp.float32) * 0.5
+
+    def run(j0_dtype):
+        def fn(p, jaa, haa):
+            ov, oj, oh = decoder_pallas.decoder_prop(
+                p, LAYERS, N_LOCAL, v, tr(j), tr(h), v_b, g, act, tile=8,
+                interpret=True, j0_add=jaa, h0_add=haa, j0_dtype=j0_dtype)
+            return jnp.sum(ov ** 2) + jnp.sum(oj ** 2) + 0.5 * jnp.sum(oh ** 2)
+
+        out = decoder_pallas.decoder_prop(
+            params, LAYERS, N_LOCAL, v, tr(j), tr(h), v_b, g, act, tile=8,
+            interpret=True, j0_add=ja, h0_add=ha, j0_dtype=j0_dtype)
+        grads = jax.grad(fn, argnums=(1, 2))(params, ja, ha)
+        return out, grads
+
+    ref_out, ref_grads = run(jnp.float32)
+    out, grads = run(jnp.bfloat16)
+    for r, o, name in zip(ref_out, out, ("v", "jac", "lap")):
+        r, o = np.asarray(r), np.asarray(o)
+        scale = np.abs(r).max() + 1e-6
+        assert np.abs(o - r).max() / scale < 3e-2, (
+            f"{name}: bf16 j0/h0 stream diverges from f32 stream "
+            f"({np.abs(o - r).max() / scale:.2%} of max magnitude)")
+    for rg, og, name in zip(ref_grads, grads, ("dja", "dha")):
+        rg, og = np.asarray(rg), np.asarray(og)
+        scale = np.abs(rg).max() + 1e-6
+        assert np.abs(og - rg).max() / scale < 6e-2, (
+            f"{name}: bf16-stream cotangent diverges "
+            f"({np.abs(og - rg).max() / scale:.2%} of max magnitude)")
+
+
 def test_bf16_input_mode_parity_on_device():
     """TPU-only (ADVICE r3): PCT_KERNEL_BF16 defaults ON, casting every fused
     kernel matmul operand to bf16 (f32 accumulation) — including the J/H

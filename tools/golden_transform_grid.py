@@ -139,29 +139,43 @@ def solve_and_write(case, case_dir, nx, ny, n_internal, rng,
 
 def solve_cases(cases, nx, ny, solver="numpy", chunk=160,
                 max_steps=30000):
-    """Yield (index, case, DuctSolution, per_case_elapsed_ns) for every case.
+    """Yield (index, case, DuctSolution, per_case_elapsed_ns, solver_meta)
+    for every case.
 
     ``solver='numpy'`` is the sequential f64 reference (tol 1e-4);
     ``solver='batch'`` marches chunks of cases as one ``lax.while_loop`` on
     the default JAX device via ``datagen/fvm_tpu.py`` (f32, tol 2e-4 — the
     f32 update-norm noise floor; field agreement with the numpy solver is
-    regression-tested in tests/test_fvm_tpu.py)."""
+    regression-tested in tests/test_fvm_tpu.py). ``solver_meta`` records the
+    solver mode, per-case achieved residual/steps, and the timing mode —
+    batch-mode elapsed_ns is a chunk average (the first chunk's includes the
+    JIT compile), not a per-case measurement (ADVICE r4)."""
     if solver == "numpy":
         for i, case in enumerate(cases):
             t0 = time.perf_counter_ns()
             sol = fvm.solve_duct(nx=nx, ny=ny, max_steps=max_steps, tol=1e-4,
                                  **_solve_params(case))
-            yield i, case, sol, time.perf_counter_ns() - t0
+            meta = {"solver": "numpy_f64", "tol": 1e-4,
+                    "residual": float(sol.residual), "steps": int(sol.steps),
+                    "elapsed_mode": "per_case"}
+            yield i, case, sol, time.perf_counter_ns() - t0, meta
         return
     from porous_cfd_tpu.datagen.fvm_tpu import solve_duct_batch
+    first_chunk = True
     for c0 in range(0, len(cases), chunk):
         part = cases[c0:c0 + chunk]
         t0 = time.perf_counter_ns()
         sols = solve_duct_batch([_solve_params(c) for c in part],
                                 nx=nx, ny=ny, tol=2e-4, max_steps=max_steps)
         per_case = (time.perf_counter_ns() - t0) // max(1, len(part))
+        mode = ("chunk_average_incl_jit_compile" if first_chunk
+                else "chunk_average")
+        first_chunk = False
         for j, (case, sol) in enumerate(zip(part, sols)):
-            yield c0 + j, case, sol, per_case
+            meta = {"solver": "batch_f32", "tol": 2e-4,
+                    "residual": float(sol.residual), "steps": int(sol.steps),
+                    "elapsed_mode": mode}
+            yield c0 + j, case, sol, per_case, meta
 
 
 def case_name(i, case):
@@ -181,13 +195,15 @@ def generate(root, splits, nx, ny, n_internal, variable, solver="numpy"):
         print(f"[{split}] solving {len(cases)} cases at {nx}x{ny} "
               f"(solver={solver}) ...", flush=True)
         t0 = time.time()
-        for i, case, sol, elapsed_ns in solve_cases(cases, nx, ny, solver):
+        for i, case, sol, elapsed_ns, smeta in solve_cases(cases, nx, ny,
+                                                           solver):
             p = _solve_params(case)
             fvm.solution_to_case(
                 sol, root / split / case_name(i, case),
                 n_internal=n_internal, rng=np.random.default_rng(SEED + i),
                 d=p["d"], f=p["f"], u_inlet=p["u_inlet"],
-                v_inlet=p["v_inlet"], elapsed_ns=elapsed_ns)
+                v_inlet=p["v_inlet"], elapsed_ns=elapsed_ns,
+                solver_meta=smeta)
             if sol.residual > 1e-3:
                 print(f"  WARNING {case_name(i, case)}: residual "
                       f"{sol.residual:.2e} after {sol.steps} steps",
@@ -256,15 +272,15 @@ def patch_train(args):
     print(f"patch: {len(cases)} extra train cases for {sorted(shapes)} "
           f"at midpoint rotations (existing train: {offset})", flush=True)
     t0 = time.time()
-    for i, case, sol, elapsed_ns in solve_cases(cases, args.nx, args.ny,
-                                                args.solver):
+    for i, case, sol, elapsed_ns, smeta in solve_cases(cases, args.nx,
+                                                       args.ny, args.solver):
         p = _solve_params(case)
         fvm.solution_to_case(
             sol, train_dir / case_name(offset + i, case),
             n_internal=args.n_internal,
             rng=np.random.default_rng(SEED + offset + i),
             d=p["d"], f=p["f"], u_inlet=p["u_inlet"], v_inlet=p["v_inlet"],
-            elapsed_ns=elapsed_ns)
+            elapsed_ns=elapsed_ns, solver_meta=smeta)
         if sol.residual > 1e-3:
             print(f"  WARNING {case_name(offset + i, case)}: residual "
                   f"{sol.residual:.2e}", flush=True)

@@ -176,20 +176,13 @@ def main():
     fns = make_train_functions(model, make_optimizer(model, 1))
     u_s, p_s = train_ds.normalizers["U"], train_ds.normalizers["p"]
     scores = {"wall_s": wall}
+    from tools.scoring_util import split_rel_l2
     for split in ("train", "val"):
         ds = FoamDataset(str(root / split), args.n_internal, args.n_boundary,
                          args.n_obs, np.random.default_rng(8421),
                          meta_dir=str(root / "train"))
-        batch = gather_cases(ds.stacked(), jnp.arange(len(ds)))
-        pred = fns.predict_batch(state.params, batch, False).numpy()
-        scores[split] = {
-            "U": rel_l2(np.asarray(u_s.inverse_transform(pred["U"])),
-                        np.asarray(u_s.inverse_transform(
-                            np.asarray(batch["U"])))),
-            "p": rel_l2(np.asarray(p_s.inverse_transform(pred["p"])),
-                        np.asarray(p_s.inverse_transform(
-                            np.asarray(batch["p"])))),
-        }
+        scores[split] = split_rel_l2(fns, state.params, ds.stacked(), len(ds),
+                                     {"U": u_s, "p": p_s}, chunk=40)
     print(json.dumps(scores, indent=2))
 
     lines = ["", "## 3D solved ground truth (abc-protocol duct, in-repo 3D "

@@ -64,20 +64,13 @@ def score(root: Path, name: str, fast: bool, logs_dir: Path, n_boundary: int,
     state, _ = load_checkpoint(str(ckpt), model, train_ds.stacked())
     fns = make_train_functions(model, make_optimizer(model, 1))
     u_s, p_s = train_ds.normalizers["U"], train_ds.normalizers["p"]
+    from tools.scoring_util import split_rel_l2
     for split in ("train", "val", "test"):
         ds = FoamDataset(str(root / split), 1500, n_boundary, 700,
                          np.random.default_rng(8421),
                          meta_dir=str(root / "train"))
-        batch = gather_cases(ds.stacked(), jnp.arange(len(ds)))
-        pred = fns.predict_batch(state.params, batch, False).numpy()
-        scores[split] = {
-            "U": rel_l2(np.asarray(u_s.inverse_transform(pred["U"])),
-                        np.asarray(u_s.inverse_transform(
-                            np.asarray(batch["U"])))),
-            "p": rel_l2(np.asarray(p_s.inverse_transform(pred["p"])),
-                        np.asarray(p_s.inverse_transform(
-                            np.asarray(batch["p"])))),
-        }
+        scores[split] = split_rel_l2(fns, state.params, ds.stacked(), len(ds),
+                                     {"U": u_s, "p": p_s})
     return scores
 
 
