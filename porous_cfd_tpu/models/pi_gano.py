@@ -464,19 +464,30 @@ def pi_gano_pp_full(nu: float, out_features: int, branch_layers, enc_layers,
                     enc_radius, enc_fraction, dec_layers, dec_k, fp_dropout,
                     scalers: dict, variable_boundaries: VariableBoundaries,
                     activation: Activation = nn.silu, max_neighbors: int = 64,
-                    dtype: Any = None) -> PinnModel:
+                    dtype: Any = None,
+                    fast_derivatives: bool = True) -> PinnModel:
     """PI-GANO++ full (pi_gano_pp_full.py). NOTE: the reference's decoder
     emits dec_layers[-1][-1] channels (4 in its example config = D+1+1); the
     PinnModel output schema uses out_features channels [U.., p], so configs
-    should set dec_layers[-1][-1] == out_features."""
+    should set dec_layers[-1][-1] == out_features. Default derivative path:
+    decoupled-hierarchy analytic (models/fp_analytic.py);
+    ``fast_derivatives=False`` restores exact reference-autograd replay."""
     module = PiGanoPpFullModule(out_features, branch_layers, enc_layers,
                                 enc_radius, enc_fraction, dec_layers, dec_k,
                                 fp_dropout, variable_boundaries, activation,
                                 max_neighbors, dtype=dtype)
+    derivative_apply = None
+    if fast_derivatives:
+        from porous_cfd_tpu.models.fp_analytic import \
+            pi_gano_pp_full_apply_with_derivatives
+        derivative_apply = pi_gano_pp_full_apply_with_derivatives(module)
     from porous_cfd_tpu.models.pipn import _all_points_unet_precompute
     model = _pi_gano_model(module, out_features - 1, nu, scalers,
+                           derivative_apply=derivative_apply,
                            neighbor_precompute=_all_points_unet_precompute(
                                enc_fraction, enc_radius, max_neighbors, dec_k,
                                len(enc_layers) > len(enc_radius)))
+    if derivative_apply is not None:
+        return model
     import dataclasses as _dc
     return _dc.replace(model, remat=True, microbatch=2)

@@ -670,15 +670,28 @@ def pipn_foam_pp_full(nu: float, d: float, f: float,
                       enc_layers, enc_radius, enc_fraction,
                       dec_layers, dec_k, scalers: dict, dec_dropout=None,
                       activation: Activation = nn.silu,
-                      max_neighbors: int = 64, dtype: Any = None) -> PinnModel:
+                      max_neighbors: int = 64, dtype: Any = None,
+                      fast_derivatives: bool = True) -> PinnModel:
     """U-Net PIPN++ (pipn_foam.py:229-290). SA/FP neighbor structures over the
-    (static) point clouds are precomputed per run."""
+    (static) point clouds are precomputed per run. The default derivative
+    path is the decoupled-hierarchy analytic one (models/fp_analytic.py —
+    exact autodiff measures 0.81 steps/s at the reference envelope);
+    ``fast_derivatives=False`` restores the exact reference-autograd replay
+    (remat + case micro-batching to fit its second-order graphs)."""
     module = PipnPpFullModule(enc_layers, enc_radius, enc_fraction, dec_layers,
                               dec_k, dec_dropout, activation, max_neighbors,
                               dtype=dtype)
+    derivative_apply = None
+    if fast_derivatives:
+        from porous_cfd_tpu.models.fp_analytic import \
+            pipn_pp_full_apply_with_derivatives
+        derivative_apply = pipn_pp_full_apply_with_derivatives(module)
     model = _foam_model(module, dec_layers[-1][-1] - 1, nu, d, f, scalers,
+                        derivative_apply=derivative_apply,
                         neighbor_precompute=_all_points_unet_precompute(
                             enc_fraction, enc_radius, max_neighbors, dec_k,
                             len(enc_layers) > len(enc_radius)))
+    if derivative_apply is not None:
+        return model
     import dataclasses as _dc
     return _dc.replace(model, remat=True, microbatch=2)

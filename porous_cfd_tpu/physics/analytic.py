@@ -239,6 +239,28 @@ def dropout_prop_merged(rng, rate: float, v, j, h, n_int: int):
     return v * mask, j * mask_i, h * mask_i
 
 
+def mlp_prop_merged(params: dict, layers: Sequence[int], v, j, h, n_int: int,
+                    activation: Callable,
+                    dropout: Optional[Sequence[float]] = None,
+                    last_activation: bool = True,
+                    deterministic: bool = True,
+                    rng=None):
+    """``mlp_prop`` over merged [internal || boundary] value rows: every
+    layer's matmul feeds all rows, while J/H only cover the first ``n_int``
+    (differentiated) rows, and one dropout mask spans the merged rows
+    (matching the exact path's single concatenated forward). Untransposed
+    layout: ``v`` (..., N, F), ``j``/``h`` (..., n_int, D, F)."""
+    n_out = len(layers) - 1
+    for i in range(n_out):
+        v, j, h = dense_prop(params[f"linear_{i}"], v, j, h)
+        if i < n_out - 1 or last_activation:
+            v, j, h = activation_prop_merged(activation, v, j, h, n_int)
+        if dropout is not None and dropout[i] > 0 and not deterministic:
+            rng, sub = jax.random.split(rng)
+            v, j, h = dropout_prop_merged(sub, dropout[i], v, j, h, n_int)
+    return v, j, h
+
+
 def decoder_prop(params: dict, layers: Sequence[int], n_local: int,
                  v, j, h, v_b, g,
                  activation: Callable,
