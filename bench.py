@@ -112,6 +112,43 @@ def make_model(family: str):
                                  "Features": ["U-inlet", "d", "f"]},
             fast_derivatives=True)
         return model, fixed_scaler
+    if family == "pipn_pp_full":
+        # duct_fixed_boundary 'pipn-pp-full' (U-Net SA encoder + FP decoder;
+        # analytic FP derivative path — round 5, was 0.81 steps/s on exact
+        # autograd replay)
+        from porous_cfd_tpu.models.pipn import pipn_foam_pp_full
+        model = pipn_foam_pp_full(
+            nu=NU, d=D, f=F,
+            enc_layers=[[2 * 2 + 1 + n_bid, 64, 64, 128],
+                        [128 + 2, 128, 128, 256],
+                        [256 + 2, 1024]],
+            enc_radius=[0.4, 0.8], enc_fraction=[0.5, 0.25],
+            dec_layers=[[1024 + 256, 256, 256],
+                        [128 + 256, 128, 128],
+                        [128 + n_bid + 2 + 1, 128, 128, 128, 3]],
+            dec_k=[3, 3, 3],
+            dec_dropout=[0.0, 0.0, [0.15, 0.15, 0.0, 0.0]],
+            scalers=scalers)
+        return model, fixed_scaler
+    if family == "pi_gano_pp_full":
+        # duct_variable_boundary 'pi-gano-pp-full' (same analytic FP path)
+        from porous_cfd_tpu.models.pi_gano import pi_gano_pp_full
+        model = pi_gano_pp_full(
+            nu=NU, out_features=3,
+            branch_layers=[8, 128, 256, 256, 256],
+            enc_layers=[[2 * 2 + n_bid + 1, 64, 64, 128],
+                        [128 + 2, 128, 128, 256],
+                        [256 + 2, 512]],
+            enc_radius=[0.5, 1], enc_fraction=[0.5, 0.25],
+            dec_layers=[[512 + 256, 256, 256],
+                        [128 + 256, 128, 128],
+                        [128 + 2 + n_bid + 1, 128, 128, 128, 3]],
+            dec_k=[3, 3, 3],
+            fp_dropout=[0.0, 0.0, [0.0, 0.2, 0.2, 0.0]],
+            scalers=scalers,
+            variable_boundaries={"Subdomains": ["inlet", "internal"],
+                                 "Features": ["U-inlet", "d", "f"]})
+        return model, fixed_scaler
     raise KeyError(family)
 
 
@@ -211,7 +248,7 @@ def run_bench():
     families = {}
     if "--no-families" not in sys.argv:
         for family in ("pipn_coupled", "pipn_exact", "pipn_pp",
-                       "pi_gano"):
+                       "pi_gano", "pipn_pp_full", "pi_gano_pp_full"):
             try:
                 families[family] = measure_family(family, dataset)
             except Exception as e:  # never let a family config sink the bench

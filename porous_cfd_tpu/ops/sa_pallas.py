@@ -341,17 +341,33 @@ SA_BLOCK_ROWS = int(os.environ.get("PCT_SA_ROWS", "4096"))
 # wins and the matrix grows past 2 MB (8 MB at n_src=4096), trading VMEM for
 # enough rows to keep the MXU fed (ADVICE r4: floor kept deliberately).
 SA_ONEHOT_BYTES = int(os.environ.get("PCT_SA_ONEHOT_BYTES", str(2 << 20)))
+# Scoped-VMEM budget for the backward kernel's per-block recompute stash.
+# The bwd kernel re-runs the conv stack per block and keeps every
+# intermediate (rows, width) activation plus the (rows, f_in + n_dims)
+# inputs live while accumulating weight grads; measured on-chip this costs
+# ~13.8 bytes per stash float per row (the ~3.4x over the raw f32 footprint
+# is Mosaic double-buffering + grad accumulators; calibrated on the observed
+# 24.53 MiB at 4096 rows for a 64-128-256 stack with f_in=6, n_dims=2).
+# Deep/wide stacks (e.g. the MRG level convs) blow the 16 MiB scoped limit
+# at 4096 rows — cap rows so the modeled stash stays under this budget.
+SA_BWD_BYTES = int(os.environ.get("PCT_SA_BWD_BYTES", str(14 << 20)))
+_BWD_BYTES_PER_STASH_FLOAT = 13.8
 
 
-def _pick_g(n_cent: int, k: int, n_src: int = 0) -> int:
+def _pick_g(n_cent: int, k: int, n_src: int = 0,
+            stash_floats: int = 0) -> int:
     """Neighborhoods per grid block: keep G*K rows around SA_BLOCK_ROWS, G*K
     a multiple of 8 (f32 sublanes), and G no larger than the centroid count
     (the centroid axis is padded to a multiple of G). ``n_src > 0`` marks the
     dynamic one-hot variant, whose (G*K, n_src) VMEM selection matrix caps
-    the rows."""
+    the rows. ``stash_floats`` (f_in + n_dims + sum of conv widths) caps the
+    rows so the backward recompute stash fits scoped VMEM (SA_BWD_BYTES)."""
     rows = SA_BLOCK_ROWS
     if n_src > 0:
         rows = min(rows, max(512, SA_ONEHOT_BYTES // (4 * n_src)))
+    if stash_floats > 0:
+        rows = min(rows, max(512, int(
+            SA_BWD_BYTES / (_BWD_BYTES_PER_STASH_FLOAT * stash_floats))))
     g = min(max(1, rows // k), max(1, n_cent))
     while (g * k) % 8 != 0:
         g += 1
@@ -400,7 +416,8 @@ def sa_neighborhood(params: dict, mlp_layers, x, pos, idx, mask, r: float,
 
     b_cases, n_cent, k = idx.shape
     n_src = x.shape[-2]
-    g_block = _pick_g(n_cent, k, 0 if xg is not None else n_src)
+    stash = f_in + n_dims + int(sum(mlp_layers[1:]))
+    g_block = _pick_g(n_cent, k, 0 if xg is not None else n_src, stash)
     pad = (-n_cent) % g_block
     maskf = mask.astype(jnp.float32)
     relf = rel.astype(jnp.float32)

@@ -206,3 +206,20 @@ def test_centroid_padding():
     assert fused.shape == dense.shape
     np.testing.assert_allclose(np.asarray(fused), np.asarray(dense),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_pick_g_bwd_stash_cap():
+    """Deep/wide conv stacks must shrink the block so the backward
+    recompute stash fits scoped VMEM (regression: the MRG level stack
+    64-128-256 at k=64 OOM'd the 16 MiB scoped limit at 4096 rows)."""
+    # MRG failing shape: f_in=6, n_dims=2, widths 64+128+256 -> stash 456
+    g = sa_pallas._pick_g(192, 64, 0, stash_floats=456)
+    modeled = g * 64 * sa_pallas._BWD_BYTES_PER_STASH_FLOAT * 456
+    assert modeled <= 16 << 20, (g, modeled)
+    # observed on-chip cost at this stash: ~6280 B/row must also fit
+    assert g * 64 * 6280 <= 16 << 20, (g, g * 64 * 6280)
+    # narrow stacks keep the full 4096-row block (perf regression guard)
+    assert sa_pallas._pick_g(925, 32, 0, stash_floats=138) * 32 == 4096
+    # one-hot cap still binds independently of the stash cap
+    assert (sa_pallas._pick_g(925, 8, n_src=2048, stash_floats=138) * 8
+            <= max(512, sa_pallas.SA_ONEHOT_BYTES // (4 * 2048)) + 8)
