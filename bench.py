@@ -53,6 +53,20 @@ PROBE_TIMEOUT_S = int(os.environ.get("BENCH_PROBE_TIMEOUT", "240"))
 BENCH_TIMEOUT_S = int(os.environ.get("BENCH_TIMEOUT", "2100"))
 
 REFERENCE_GPU_STEPS_PER_SEC = 30.0  # favorable estimate, see BASELINE.md
+# Measured same-host framework ratio (tools/samehost_ratio.py, 2026-08-19,
+# quiet CPU, no estimated quantity): torch reference formulation 0.00528
+# steps/s vs this framework 0.1294 (default analytic path) / 0.0103 (exact
+# autodiff parity mode) on the identical host CPU. See BASELINE.md round 5.
+SAMEHOST_MEASURED = {
+    "torch_reference_steps_per_sec": 0.00528,
+    "jax_default_steps_per_sec": 0.1294,
+    "jax_exact_autodiff_steps_per_sec": 0.0103,
+    "ratio_default_path": 24.5,
+    "ratio_exact_formulation": 2.0,
+    "note": "same-host same-step measured pair (tools/samehost_ratio.py); "
+            "vs_baseline's 30 steps/s GPU denominator remains an estimate, "
+            "this ratio has no estimated term",
+}
 
 BATCH = 13
 N_INTERNAL, N_BOUNDARY, N_OBS = 1500, 1000, 700
@@ -259,6 +273,7 @@ def run_bench():
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / REFERENCE_GPU_STEPS_PER_SEC, 2),
+        "samehost_measured": SAMEHOST_MEASURED,
         "families": families,
     }
     if isinstance(families.get("pipn_exact"), float):

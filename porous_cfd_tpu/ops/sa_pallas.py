@@ -369,6 +369,10 @@ def _pick_g(n_cent: int, k: int, n_src: int = 0,
         rows = min(rows, max(512, int(
             SA_BWD_BYTES / (_BWD_BYTES_PER_STASH_FLOAT * stash_floats))))
     g = min(max(1, rows // k), max(1, n_cent))
+    # the (1, G, K) mask / (1, G, F) out block specs require G % 8 == 0
+    # (Pallas TPU sublane divisibility) unless G covers the padded axis
+    if g > 8:
+        g -= g % 8
     while (g * k) % 8 != 0:
         g += 1
     return g
