@@ -134,6 +134,9 @@ def main():
              "examples/duct_fixed_boundary CLI on 1 TPU chip.", "",
              "| Path | Wall | Train rel-L2 (U / p) | Val rel-L2 (U / p) "
              "| Test rel-L2 (U / p) |", "|---|---|---|---|---|"]
+    # "analytic" = the model family's fast (v,J,H) path: max-pool-coupled for
+    # plain pipn (--coupled-context), decoupled-hierarchy for the ++/full
+    # families (models/fp_analytic.py)
     for key, label in [("analytic", "analytic coupled (v,J,H) exactness mode"),
                        ("decoupled", "analytic decoupled, DEFAULT"),
                        ("exact", "exact autodiff")]:
